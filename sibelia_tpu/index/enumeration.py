@@ -1,0 +1,220 @@
+"""Bifurcation enumeration: from chromosome strings to per-strand sorted
+bifurcation instance lists.
+
+Reproduces the semantics of the reference's suffix-array scan
+(reference: src/vertexenumeration.cpp:160-364) without a suffix array:
+
+  * supergenome = '#' + chr_0 + '#' + ... + '#' + rc(chr_0) + '#' + ...
+  * group positions by identical k-mer (device rank kernel)
+  * a group is a bifurcation vertex iff its predecessor-char set or
+    successor-char set has >1 symbol or touches '#'
+    (reference: vertexenumeration.cpp:67-70)
+  * positions whose k-mer crosses a chromosome end are not candidates
+    (reference: vertexenumeration.cpp:341)
+  * a group is counted iff it has >=2 candidates, or any candidate is
+    terminal (adjacent to '#') (reference: vertexenumeration.cpp:348)
+  * ids are assigned densely in suffix-array order == lexicographic k-mer
+    order, which is exactly the rank order from the device kernel
+
+The reference's Flank() pass (vertexenumeration.cpp:72-88) is a no-op here:
+enumeration always runs after ambiguous bases have been randomized to ACGT
+(reference: src/indexedsequence.cpp:33-37), making IsDefiniteBase true
+everywhere.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .ranking import CODE_OF, SEP_CODE, encode, kmer_ranks
+
+NO_BIFURCATION = (1 << 32) - 1  # reference: BifurcationId(-1), uint32
+
+
+@dataclass
+class BifEnumeration:
+    count: int
+    # per strand: arrays sorted by (chr, pos); pos is strand-local
+    # (for the negative strand: offset within the reverse complement)
+    chr: tuple[np.ndarray, np.ndarray]
+    pos: tuple[np.ndarray, np.ndarray]
+    bif_id: tuple[np.ndarray, np.ndarray]
+
+
+_RC = bytes.maketrans(b"ACGT", b"TGCA")
+
+
+def revcomp_bytes(s: bytes) -> bytes:
+    return s.translate(_RC)[::-1]
+
+
+def build_supergenome(chromosomes: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """Return (codes, block_starts). Layout mirrors the reference
+    (vertexenumeration.cpp:166-183): leading '#', each chromosome followed
+    by '#', then each reverse complement followed by '#'. block_starts[b]
+    is the supergenome offset of block b (positive blocks then negative)."""
+    parts = [b"#"]
+    starts = []
+    off = 1
+    for ch in chromosomes:
+        starts.append(off)
+        parts.append(ch)
+        parts.append(b"#")
+        off += len(ch) + 1
+    for ch in chromosomes:
+        starts.append(off)
+        parts.append(revcomp_bytes(ch))
+        parts.append(b"#")
+        off += len(ch) + 1
+    text = b"".join(parts)
+    return encode(text), np.asarray(starts, dtype=np.int64)
+
+
+def enumerate_bifurcations(chromosomes: list[bytes], k: int) -> BifEnumeration:
+    codes, block_starts = build_supergenome(chromosomes)
+    n = codes.shape[0]
+    n_chr = len(chromosomes)
+    chr_len = np.asarray([len(c) for c in chromosomes], dtype=np.int64)
+
+    rank, order = kmer_ranks(codes, k)
+
+    # Position metadata (vectorized, host-side numpy).
+    all_pos = np.arange(n, dtype=np.int64)
+    block = np.searchsorted(block_starts, all_pos, side="right") - 1
+    block = np.clip(block, 0, 2 * n_chr - 1)
+    chrom = np.where(block < n_chr, block, block - n_chr)
+    local = all_pos - block_starts[block]
+    valid = (codes != SEP_CODE) & (local + k <= chr_len[chrom])
+
+    # Keep only candidate positions; groups are all-candidate or all-dropped
+    # (a '#'-free k-mer fits inside its chromosome; see module docstring).
+    keep = order[valid[order]]
+    if keep.size == 0:
+        e = np.zeros(0, dtype=np.int64)
+        ei = np.zeros(0, dtype=np.uint32)
+        return BifEnumeration(0, (e.copy(), e.copy()), (e.copy(), e.copy()), (ei.copy(), ei.copy()))
+
+    kr = rank[keep]
+    group_start_mask = np.empty(keep.size, dtype=bool)
+    group_start_mask[0] = True
+    group_start_mask[1:] = kr[1:] != kr[:-1]
+    starts_idx = np.flatnonzero(group_start_mask)
+    group_sizes = np.diff(np.append(starts_idx, keep.size))
+
+    prev_bits = (1 << codes[keep - 1].astype(np.int64))
+    next_code = codes[np.minimum(keep + k, n - 1)]
+    next_bits = (1 << next_code.astype(np.int64))
+    prev_or = np.bitwise_or.reduceat(prev_bits, starts_idx)
+    next_or = np.bitwise_or.reduceat(next_bits, starts_idx)
+
+    def is_bif(bits):
+        pop = np.zeros_like(bits)
+        for b in range(5):
+            pop += (bits >> b) & 1
+        return (pop > 1) | ((bits & 1) != 0)
+
+    bif_group = is_bif(prev_or) | is_bif(next_or)
+
+    terminal = (codes[keep - 1] == SEP_CODE) | (next_code == SEP_CODE)
+    any_terminal = np.bitwise_or.reduceat(terminal.astype(np.int64), starts_idx) != 0
+    counted = bif_group & ((group_sizes > 1) | any_terminal)
+
+    ids_per_group = np.cumsum(counted.astype(np.int64)) - 1
+    count = int(counted.sum())
+
+    group_of_keep = np.cumsum(group_start_mask.astype(np.int64)) - 1
+    pos_counted = counted[group_of_keep]
+    sel = keep[pos_counted]
+    sel_ids = ids_per_group[group_of_keep[pos_counted]].astype(np.uint32)
+    sel_block = block[sel]
+    sel_chr = chrom[sel]
+    sel_local = local[sel]
+    sel_neg = sel_block >= n_chr
+
+    out_chr, out_pos, out_id = [], [], []
+    for strand_neg in (False, True):
+        m = sel_neg == strand_neg
+        c, p, i = sel_chr[m], sel_local[m], sel_ids[m]
+        srt = np.lexsort((p, c))
+        out_chr.append(c[srt])
+        out_pos.append(p[srt])
+        out_id.append(i[srt])
+    return BifEnumeration(count, tuple(out_chr), tuple(out_pos), tuple(out_id))
+
+
+def enumerate_bifurcations_oracle(chromosomes: list[bytes], k: int) -> BifEnumeration:
+    """Slow, literal re-derivation used as a test oracle: builds the
+    supergenome, sorts suffixes with Python, and applies the same scan as
+    the reference (vertexenumeration.cpp:263-364). O(n^2 log n); tests only.
+    """
+    parts = ["#"]
+    cum = []
+    data = [c.decode() for c in chromosomes]
+    off = 1
+    for ch in data:
+        cum.append(off)
+        parts.append(ch + "#")
+        off += len(ch) + 1
+    for ch in data:
+        cum.append(off)
+        parts.append(revcomp_bytes(ch.encode()).decode() + "#")
+        off += len(ch) + 1
+    sg = "".join(parts)
+    n = len(sg)
+    order = sorted(range(n), key=lambda i: sg[i:])
+    count = 0
+    out = {0: [], 1: []}
+    start = 0
+
+    def lcp(a, b):
+        m = 0
+        while a + m < n and b + m < n and sg[a + m] == sg[b + m]:
+            m += 1
+        return m
+
+    while start < n:
+        if sg[order[start]] == "#":
+            start += 1
+            continue
+        end = start
+        prev_set, next_set = set(), set()
+        while True:
+            i = order[end]
+            if i > 0:
+                prev_set.add(sg[i - 1])
+            if i + k < n:
+                next_set.add(sg[i + k])
+            end += 1
+            if end >= n or lcp(order[end], order[end - 1]) < k:
+                break
+        def bif(s):
+            return len(s) > 1 or "#" in s
+        if bif(prev_set) or bif(next_set):
+            cand = []
+            terminal = False
+            for j in range(start, end):
+                suffix = order[j]
+                b = 0
+                while b + 1 < len(cum) and cum[b + 1] <= suffix:
+                    b += 1
+                strand = 0 if b < len(data) else 1
+                chrom = b if b < len(data) else b - len(data)
+                pos = suffix - cum[b]
+                if pos + k <= len(data[chrom]):
+                    if sg[suffix - 1] == "#" or (suffix + k < n and sg[suffix + k] == "#"):
+                        terminal = True
+                    cand.append((strand, chrom, pos))
+            if len(cand) > 1 or terminal:
+                for strand, chrom, pos in cand:
+                    out[strand].append((chrom, pos, count))
+                count += 1
+        start = end
+
+    res_chr, res_pos, res_id = [], [], []
+    for strand in (0, 1):
+        lst = sorted(out[strand])
+        res_chr.append(np.asarray([x[0] for x in lst], dtype=np.int64))
+        res_pos.append(np.asarray([x[1] for x in lst], dtype=np.int64))
+        res_id.append(np.asarray([x[2] for x in lst], dtype=np.uint32))
+    return BifEnumeration(count, tuple(res_chr), tuple(res_pos), tuple(res_id))

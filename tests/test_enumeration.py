@@ -1,0 +1,68 @@
+import numpy as np
+import pytest
+
+from sibelia_tpu.index.enumeration import (
+    enumerate_bifurcations,
+    enumerate_bifurcations_oracle,
+)
+from sibelia_tpu.index.ranking import encode, kmer_ranks
+
+
+def _random_genomes(rng, n_chr, lo, hi):
+    return [
+        bytes(rng.choice([65, 67, 71, 84], size=rng.integers(lo, hi)).astype(np.uint8))
+        for _ in range(n_chr)
+    ]
+
+
+def test_kmer_ranks_matches_brute_force():
+    rng = np.random.default_rng(0)
+    s = bytes(rng.choice([35, 65, 67, 71, 84], size=200, p=[0.05, 0.25, 0.25, 0.25, 0.2]).astype(np.uint8))
+    for k in (1, 2, 3, 5, 8, 13, 31):
+        codes = encode(s)
+        rank, order = kmer_ranks(codes, k)
+        n = len(s)
+        kmers = [s[i:i + k] for i in range(n)]
+        # brute-force dense rank of k-prefixes, padding shorter tails uniquely
+        def key(i):
+            km = kmers[i]
+            return (km, n - i) if len(km) < k else (km, 0)
+        expect_sorted = sorted(range(n), key=key)
+        # ranks must induce the same grouping for full-length k-mers
+        for i in range(n - k + 1):
+            for j in range(i + 1, n - k + 1):
+                same = kmers[i] == kmers[j]
+                assert (rank[i] == rank[j]) == same, (k, i, j)
+        # and rank order must equal lexicographic order among full k-mers
+        full = [i for i in range(n - k + 1)]
+        by_rank = sorted(full, key=lambda i: (rank[i], i))
+        by_lex = sorted(full, key=lambda i: (kmers[i], i))
+        assert by_rank == by_lex
+
+
+@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("k", [2, 3, 5, 11])
+def test_enumeration_matches_oracle(seed, k):
+    rng = np.random.default_rng(seed)
+    chrs = _random_genomes(rng, rng.integers(1, 4), 20, 120)
+    got = enumerate_bifurcations(chrs, k)
+    want = enumerate_bifurcations_oracle(chrs, k)
+    assert got.count == want.count
+    for strand in (0, 1):
+        np.testing.assert_array_equal(got.chr[strand], want.chr[strand])
+        np.testing.assert_array_equal(got.pos[strand], want.pos[strand])
+        np.testing.assert_array_equal(got.bif_id[strand], want.bif_id[strand])
+
+
+def test_enumeration_k_larger_than_sequence():
+    got = enumerate_bifurcations([b"ACGTACGT"], 50)
+    assert got.count == 0
+
+
+def test_enumeration_repeated_sequence():
+    # two identical chromosomes: every k-mer is shared
+    got = enumerate_bifurcations([b"ACGTTGCAACGT", b"ACGTTGCAACGT"], 4)
+    want = enumerate_bifurcations_oracle([b"ACGTTGCAACGT", b"ACGTTGCAACGT"], 4)
+    assert got.count == want.count
+    for strand in (0, 1):
+        np.testing.assert_array_equal(got.bif_id[strand], want.bif_id[strand])
