@@ -1,0 +1,60 @@
+"""BlockFinder: pipeline state across simplification stages.
+
+Reference: src/blockfinder.{h,cpp}. Holds the working sequence (raw_seq)
+and per-element original positions; each stage rebuilds the index at that
+stage's k, simplifies, and writes the shrunken sequence back.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.glibc_rand import GlibcRand
+from ..graph.indexed import build_index
+from ..graph.sequence import MutableSequence
+from ..graph.simplify import simplify_graph
+from ..io.fasta import FASTARecord
+from .edges import list_edges
+from .instance import BlockInstance
+from .synteny import generate_synteny_blocks
+
+
+class BlockFinder:
+    def __init__(self, chr_list: list[FASTARecord], rand: GlibcRand | None = None):
+        self.chr_list = chr_list
+        self.rand = rand if rand is not None else GlibcRand(1)
+        self.raw_seq: list[bytes] = [r.sequence.encode() for r in chr_list]
+        self.original_size = [len(s) for s in self.raw_seq]
+        self.original_pos = [np.arange(len(s), dtype=np.int64) for s in self.raw_seq]
+
+    def perform_graph_simplifications(self, k: int, min_branch: int,
+                                      max_iterations: int,
+                                      progress=None) -> int:
+        """Reference: blockfinder.cpp:78-98."""
+        seq = MutableSequence(self.raw_seq, self.original_pos)
+        store = build_index(seq, k, self.rand)
+        ret = simplify_graph(seq, store, k, min_branch, max_iterations, progress)
+        self.raw_seq = seq.to_strings()
+        self.original_pos = [op.copy() for op in seq.origpos]
+        return ret
+
+    def generate_synteny_blocks(self, k: int, trim_k: int, min_size: int,
+                                shared_only: bool = False) -> list[BlockInstance]:
+        return generate_synteny_blocks(
+            self.chr_list, self.raw_seq, self.original_pos, self.original_size,
+            k, trim_k, min_size, shared_only, self.rand, list_edges)
+
+    def serialize_condensed_graph(self, k: int, out) -> None:
+        """Reference: serialization.cpp:88-110 (dot format)."""
+        seq = MutableSequence(self.raw_seq, self.original_pos)
+        store = build_index(seq, k, self.rand)
+        edges = list_edges(seq, store, k)
+        out.write("digraph G\n{\n")
+        out.write("rankdir=LR\n")
+        for e in edges:
+            color = "blue" if e.direction == 0 else "red"
+            out.write(
+                f"{e.start_vertex} -> {e.end_vertex} "
+                f"[color=\"{color}\", label=\"chr={e.chr} pos={e.actual_position} "
+                f"len={e.actual_length} orpos={e.original_position} "
+                f"orlen={e.original_length}  ch='{chr(e.first_char)}'\"];\n")
+        out.write("}\n")

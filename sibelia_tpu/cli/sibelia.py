@@ -1,0 +1,155 @@
+"""Sibelia-compatible command line driver.
+
+Full flag surface of the reference CLI (reference: src/sibelia.cpp:43-368):
+-s/-k presets or stage file, -m min block size, -i max iterations, --lastk,
+-a shared only, -q sequences, -g graph, -v hierarchy, --gff, --allstages,
+--nopostprocess, --correctboundaries, --noblocks, -o outdir, -t tempdir,
+-r inram (accepted; this implementation never writes temp files).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from .. import VERSION
+from ..core.config import MAX_INPUT_SIZE, PRESETS, read_stage_file
+from ..blocks.finder import BlockFinder
+from ..blocks.postprocess import glue_stripes
+from ..io import writers
+from ..io.fasta import read_fasta
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="Sibelia",
+        description="Program for finding synteny blocks in closely related genomes")
+    p.add_argument("--version", action="version", version=VERSION)
+    p.add_argument("-i", "--maxiterations", type=int, default=4)
+    p.add_argument("--correctboundaries", action="store_true")
+    p.add_argument("--nopostprocess", action="store_true")
+    p.add_argument("--gff", action="store_true")
+    p.add_argument("--allstages", action="store_true")
+    p.add_argument("--lastk", type=int, default=None)
+    p.add_argument("-t", "--tempdir", default=".")
+    group = p.add_mutually_exclusive_group()
+    group.add_argument("-k", "--stagefile", default=None)
+    group.add_argument("-s", "--parameters", choices=sorted(PRESETS), default=None)
+    p.add_argument("-v", "--visualize", action="store_true")
+    p.add_argument("-g", "--graphfile", action="store_true")
+    p.add_argument("-q", "--sequencesfile", action="store_true")
+    p.add_argument("-m", "--minblocksize", type=int, default=5000)
+    p.add_argument("-a", "--sharedonly", action="store_true")
+    p.add_argument("-r", "--inram", action="store_true")
+    p.add_argument("--noblocks", action="store_true")
+    p.add_argument("-o", "--outdir", default=".")
+    p.add_argument("filenames", nargs="+")
+    return p
+
+
+def run(argv: list[str]) -> int:
+    args = build_arg_parser().parse_args(argv)
+    try:
+        if args.stagefile is not None:
+            stage = read_stage_file(args.stagefile)
+        else:
+            stage = PRESETS[args.parameters or "loose"]
+
+        if args.correctboundaries and len(args.filenames) != 2:
+            raise RuntimeError("In correction mode only two FASTA files are acceptable")
+
+        chr_list = []
+        reference_chr_id = set()
+        for i, fn in enumerate(args.filenames):
+            if not os.path.exists(fn):
+                raise RuntimeError(f"Cannot open file {fn}")
+            read_fasta(fn, chr_list)
+            if i == 0:
+                reference_chr_id = {r.id for r in chr_list}
+
+        total = sum(len(r.sequence) for r in chr_list)
+        if total > MAX_INPUT_SIZE:
+            raise RuntimeError("Input is larger than 1 GB, can't proceed")
+
+        history: list[list] = [[] for _ in range(len(stage) + 1)]
+        finder = BlockFinder(chr_list)
+        os.makedirs(args.outdir, exist_ok=True)
+
+        trim_k = 1 << 31
+        for i, (k, d) in enumerate(stage):
+            trim_k = min(trim_k, k)
+            if args.visualize or args.allstages:
+                if not args.noblocks:
+                    history[i] = finder.generate_synteny_blocks(
+                        k, trim_k, k, args.sharedonly)
+                    if not args.nopostprocess:
+                        history[i] = glue_stripes(history[i], chr_list)
+                if args.graphfile:
+                    with open(os.path.join(args.outdir, f"de_bruijn_graph{i}.dot"), "w") as g:
+                        finder.serialize_condensed_graph(k, g)
+            print(f"Simplification stage {i + 1} of {len(stage)}")
+            print("Enumerating vertices of the graph, then performing bulge removal...")
+            finder.perform_graph_simplifications(k, d, args.maxiterations)
+
+        print("Finding synteny blocks and generating the output...")
+        trim_k = min(trim_k, args.minblocksize)
+        if args.lastk is not None:
+            last_k = args.lastk
+        else:
+            last_k = min(stage[-1][0] if stage else (1 << 31), args.minblocksize)
+
+        old_format = not args.gff
+        coords_writer = (writers.list_blocks_indices if old_format
+                         else writers.list_blocks_indices_gff)
+        ext = ".txt" if old_format else ".gff"
+        out = args.outdir
+
+        if not args.noblocks:
+            history[-1] = finder.generate_synteny_blocks(
+                last_k, trim_k, args.minblocksize, args.sharedonly)
+            if not args.nopostprocess:
+                history[-1] = glue_stripes(history[-1], chr_list)
+            if args.correctboundaries:
+                from ..blocks.boundaries import improve_block_boundaries
+                improve_block_boundaries(history[-1], reference_chr_id)
+
+            if args.allstages:
+                for i, blocks in enumerate(history):
+                    coords_writer(blocks, chr_list,
+                                  os.path.join(out, f"blocks_coords{i}{ext}"))
+            else:
+                coords_writer(history[-1], chr_list,
+                              os.path.join(out, f"blocks_coords{ext}"))
+
+            writers.list_chromosomes_as_permutations(
+                history[-1], chr_list, os.path.join(out, "genomes_permutations.txt"))
+            writers.generate_report(
+                history[-1], chr_list, os.path.join(out, "coverage_report.txt"))
+            if args.sequencesfile:
+                writers.list_blocks_sequences(
+                    history[-1], chr_list, os.path.join(out, "blocks_sequences.fasta"))
+            writers.generate_d3_output(
+                history[-1], chr_list, os.path.join(out, "d3_blocks_diagram.html"))
+            circos_dir = os.path.join(out, "circos")
+            circos_file = os.path.join(circos_dir, "circos.conf")
+            if not args.visualize:
+                writers.generate_circos_output(history[-1], chr_list, circos_file, circos_dir)
+            else:
+                writers.generate_hierarchy_circos_output(history, chr_list, circos_file, circos_dir)
+
+        if args.graphfile:
+            suffix = f"{len(stage)}" if args.allstages else ""
+            with open(os.path.join(out, f"de_bruijn_graph{suffix}.dot"), "w") as g:
+                finder.serialize_condensed_graph(last_k, g)
+        return 0
+    except RuntimeError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+
+def main() -> None:
+    sys.exit(run(sys.argv[1:]))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""Mutable genome state as flat per-chromosome arrays.
+
+Replaces the reference's unrolled doubly-linked list DNASequence
+(reference: src/dnasequence.{h,cpp}, src/unrolledlist.h) with numpy arrays:
+
+  chars[c]   uint8 ASCII bases of chromosome c (no separators stored)
+  origpos[c] int64 "original position" metadata per element
+             (reference keeps this in 30 bits of per-element meta,
+              src/stranditerator.cpp:148-156)
+
+A *strand position* is (strand, chr, pos) where pos is the positive-frame
+index of the element a reference StrandIterator would point at. Advancing
+on the negative strand decreases pos; reading on the negative strand
+complements (reference: src/stranditerator.cpp:202-210).
+
+Splicing (used by bulge collapse) replaces a positive-frame span with new
+content; callers handle original-position interpolation (that logic lives
+in graph/simplify.py next to the collapse protocol it belongs to,
+mirroring reference src/dnasequence.cpp:189-252).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+COMP_LUT = np.arange(256, dtype=np.uint8)
+for a, b in zip(b"ATGCatgc", b"TACGtacg"):
+    COMP_LUT[a] = b
+
+
+class MutableSequence:
+    def __init__(self, chromosomes: list[bytes], original_pos: list[np.ndarray] | None = None):
+        self.chars: list[np.ndarray] = [
+            np.frombuffer(c, dtype=np.uint8).copy() for c in chromosomes
+        ]
+        if original_pos is None:
+            self.origpos = [np.arange(len(c), dtype=np.int64) for c in chromosomes]
+        else:
+            self.origpos = [np.asarray(p, dtype=np.int64).copy() for p in original_pos]
+        # original position recorded on the separator element after each
+        # chromosome (reference: dnasequence.cpp:95-96) — the chromosome's
+        # length at construction time.
+        self.sep_origpos = [len(c) for c in chromosomes]
+
+    @property
+    def n_chr(self) -> int:
+        return len(self.chars)
+
+    def chr_len(self, c: int) -> int:
+        return len(self.chars[c])
+
+    def valid(self, c: int, pos: int) -> bool:
+        return 0 <= pos < len(self.chars[c])
+
+    def char_at(self, strand: int, c: int, pos: int) -> int:
+        """Byte value as spelled on `strand` (0=positive, 1=negative)."""
+        b = self.chars[c][pos]
+        return int(COMP_LUT[b]) if strand else int(b)
+
+    def origpos_at(self, c: int, pos: int) -> int:
+        """Original position; pos == len(chr) reads the separator element."""
+        if pos == len(self.chars[c]):
+            return self.sep_origpos[c]
+        return int(self.origpos[c][pos])
+
+    def spell(self, strand: int, c: int, pos: int, length: int) -> bytes:
+        """The `length` chars spelled from (strand, c, pos) forward."""
+        if strand == 0:
+            return self.chars[c][pos:pos + length].tobytes()
+        seg = self.chars[c][pos - length + 1:pos + 1]
+        return COMP_LUT[seg][::-1].tobytes()
+
+    def splice(self, c: int, start: int, stop: int, new_chars: np.ndarray) -> None:
+        """Replace chars[c][start:stop] with new_chars; origpos over the new
+        span is zero-filled (caller interpolates)."""
+        self.chars[c] = np.concatenate(
+            [self.chars[c][:start], new_chars, self.chars[c][stop:]])
+        self.origpos[c] = np.concatenate(
+            [self.origpos[c][:start],
+             np.zeros(len(new_chars), dtype=np.int64),
+             self.origpos[c][stop:]])
+
+    def to_strings(self) -> list[bytes]:
+        return [c.tobytes() for c in self.chars]

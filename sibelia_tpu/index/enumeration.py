@@ -71,7 +71,15 @@ def build_supergenome(chromosomes: list[bytes]) -> tuple[np.ndarray, np.ndarray]
     return encode(text), np.asarray(starts, dtype=np.int64)
 
 
+def _empty_enumeration() -> BifEnumeration:
+    e = np.zeros(0, dtype=np.int64)
+    ei = np.zeros(0, dtype=np.uint32)
+    return BifEnumeration(0, (e, e.copy()), (e.copy(), e.copy()), (ei, ei.copy()))
+
+
 def enumerate_bifurcations(chromosomes: list[bytes], k: int) -> BifEnumeration:
+    if not chromosomes:
+        return _empty_enumeration()
     codes, block_starts = build_supergenome(chromosomes)
     n = codes.shape[0]
     n_chr = len(chromosomes)
@@ -91,9 +99,7 @@ def enumerate_bifurcations(chromosomes: list[bytes], k: int) -> BifEnumeration:
     # (a '#'-free k-mer fits inside its chromosome; see module docstring).
     keep = order[valid[order]]
     if keep.size == 0:
-        e = np.zeros(0, dtype=np.int64)
-        ei = np.zeros(0, dtype=np.uint32)
-        return BifEnumeration(0, (e.copy(), e.copy()), (e.copy(), e.copy()), (ei.copy(), ei.copy()))
+        return _empty_enumeration()
 
     kr = rank[keep]
     group_start_mask = np.empty(keep.size, dtype=bool)

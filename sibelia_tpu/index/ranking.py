@@ -71,6 +71,42 @@ def _sentinel_tail(n: int, pad: int) -> np.ndarray:
     return -(np.arange(pad, dtype=np.int32) + 2)
 
 
+def kmer_ranks_numpy(codes: np.ndarray, k: int):
+    """Pure-numpy twin of kmer_ranks for small inputs (e.g. the per-group
+    mini-indexes built during block trimming) where device dispatch and
+    compile caching would dominate."""
+    n = int(codes.shape[0])
+    pad = k + 1
+    r = np.concatenate([codes.astype(np.int64), -(np.arange(pad) + 2)])
+    order = np.argsort(r[:n], kind="stable").astype(np.int64)
+    if k == 1:
+        sr = r[:n][order]
+        flag = np.concatenate([[0], (sr[1:] != sr[:-1]).astype(np.int64)])
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = np.cumsum(flag)
+        return rank, order
+    length = 1
+    while length < k:
+        off = min(length, k - length)
+        k1 = r[:n]
+        k2 = r[off:off + n]
+        order = np.lexsort((k2, k1)).astype(np.int64)
+        sk1, sk2 = k1[order], k2[order]
+        flag = np.concatenate(
+            [[0], ((sk1[1:] != sk1[:-1]) | (sk2[1:] != sk2[:-1])).astype(np.int64)])
+        ranks_sorted = np.cumsum(flag)
+        r_new = np.empty(n, dtype=np.int64)
+        r_new[order] = ranks_sorted
+        r[:n] = r_new
+        length += off
+        if ranks_sorted[-1] == n - 1:
+            break
+    return r[:n].copy(), order
+
+
+_NUMPY_THRESHOLD = 1 << 16
+
+
 def kmer_ranks(codes: np.ndarray, k: int):
     """Return (rank, order): rank[i] = dense lex rank of s[i:i+k] (int32),
     order = positions sorted by rank (stable). Positions whose k-mer would
@@ -78,6 +114,8 @@ def kmer_ranks(codes: np.ndarray, k: int):
     never equal any other position's rank unless truly identical).
     """
     n = int(codes.shape[0])
+    if n < _NUMPY_THRESHOLD:
+        return kmer_ranks_numpy(codes, k)
     assert k >= 1
     pad = k + 1
     r_ext = np.concatenate([codes.astype(np.int32), _sentinel_tail(n, pad)])
