@@ -28,6 +28,7 @@ import bisect
 
 import numpy as np
 
+from ..core.boost_unordered import Boost154Map
 from .bifstore import NO_BIFURCATION, BifStore
 from .sequence import COMP_LUT, MutableSequence
 
@@ -75,10 +76,9 @@ def _any_bulges(store: BifStore, start_nodes: list[int], end_char: list[int],
     with differing leading chars (reference: bulgeremoval.cpp:158-218).
 
     The reference collects candidates in a boost::unordered_map and emits
-    bulges in its iteration order; we use insertion order (deterministic;
-    see docs/PARITY.md for the remaining hash-order caveat)."""
-    visit: dict[int, tuple[int, list[int]]] = {}
-    order: list[int] = []
+    bulges in its ITERATION order, which decides collapse order — we use an
+    exact boost-1.54 container emulation (core/boost_unordered.py)."""
+    visit = Boost154Map()
     nb = store.node_bif
     for i, idx in enumerate(start_nodes):
         if end_char[i] == EMPTY:
@@ -92,14 +92,13 @@ def _any_bulges(store: BifStore, start_nodes: list[int], end_char: list[int],
             b = int(nb[nidx])
             if b == start:
                 break
-            entry = visit.get(b)
+            entry = visit.find(b)
             if entry is None:
-                visit[b] = (end_char[i], [i])
-                order.append(b)
+                visit.insert(b, (end_char[i], [i]))
             elif entry[0] != end_char[i]:
                 entry[1].append(i)
                 break
-    return [visit[b][1] for b in order if len(visit[b][1]) > 1]
+    return [v[1] for _, v in visit.items() if len(v[1]) > 1]
 
 
 def _overlap(store: BifStore, k: int, a_idx: int, a_dist: int,
@@ -139,11 +138,31 @@ def _max_bif_multiplicity(store: BifStore, idx: int, distance: int) -> int:
     return ret
 
 
+TRACE = None  # set to a file-like object to trace collapses (debug parity)
+_TRACE_COUNT = [0]
+
+
+def _trace_path(seq, store, idx, dist, k):
+    s = int(store.node_strand[idx])
+    c = int(store.node_chr[idx])
+    p = int(store.node_pos[idx])
+    glob = sum(seq.chr_len(j) + 1 for j in range(c)) + p
+    return (("+" if s == 0 else "-") + str(glob) + " "
+            + seq.spell(s, c, p, dist + k).decode())
+
+
 def collapse_bulge(seq: MutableSequence, store: BifStore, k: int,
                    src_idx: int, src_dist: int,
                    tgt_idx: int, tgt_dist: int) -> None:
     """Collapse one bulge: rewrite the target branch with the source branch
     (reference: bulgeremoval.cpp:284-327)."""
+    if TRACE is not None:
+        TRACE.write(f"Bulge #{_TRACE_COUNT[0]}\n")
+        _TRACE_COUNT[0] += 1
+        TRACE.write("Source branch: \n")
+        TRACE.write(_trace_path(seq, store, src_idx, src_dist, k) + "\n")
+        TRACE.write("Target branch: \n")
+        TRACE.write(_trace_path(seq, store, tgt_idx, tgt_dist, k) + "\n")
     s_t = int(store.node_strand[tgt_idx])
     c_t = int(store.node_chr[tgt_idx])
     p_t = int(store.node_pos[tgt_idx])
