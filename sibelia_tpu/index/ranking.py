@@ -1,25 +1,29 @@
 """Device-side lexicographic ranking of k-mers (the hot kernel).
 
 This replaces the reference's suffix array + LCP construction
-(reference: src/vertexenumeration.cpp:103,292 divsufsort; :44-65 Kasai)
-with an XLA-native prefix-doubling rank computation:
+(reference: src/vertexenumeration.cpp:103,292 divsufsort; :44-65 Kasai).
+Only k-mer *grouping* and lexicographic *group order* are needed (that is
+all the reference derives from the suffix array), so instead of a suffix
+array we compute dense lexicographic ranks of the k-prefixes:
 
-  r_1(i)  = code(s[i])
-  r_2L(i) = dense_rank( (r_L(i), r_L(i+L)) )         # via one device sort
-  r_k(i)  = dense_rank( (r_h(i), r_h(i + k - h)) )   # final overlapping step
+  1. base-4 pack: p_{2L}[i] = (p_L[i] << 2L) | p_L[i+L] builds 2^j-char
+     packed words with log2(32) elementwise passes (VPU, memory-bound)
+  2. k <= 32: ONE device sort of the overlapped packed pair
+     (p16[i], p16[i+k-16]) yields the dense rank directly
+  3. k > 32: dense 32-ranks from the packed sort, then chunked prefix
+     doubling r_{L+off}(i) = dense_rank(r_L(i), r_L(i+off)), off = min(L,
+     k-L) — ceil(log2(k/32))+1 more sorts (vs log2(k) char-level rounds)
 
-After O(log k) rounds, r_k(i) is the dense lexicographic rank of the
-length-k substring starting at i. Equal ranks == identical k-mers, and rank
-order == suffix-array group order, which the reference uses to assign
-bifurcation ids — so ids derived from these ranks match the reference's.
+Positions whose window crosses a separator get sentinel keys (they sort
+to the end and are filtered by the enumeration); packing is over ACGT
+codes only, so the 2-bit alphabet stays dense.
 
-Early termination: once all ranks are distinct the order is final (two
-suffixes that differ within length L keep their relative order at any
-longer length), so we stop; the host drives the doubling loop and checks
-the max-rank scalar between rounds.
+Equal final ranks == identical k-mers, and rank order == suffix-array
+group order, which the reference uses to assign bifurcation ids — so ids
+derived from these ranks match the reference's bit-for-bit.
 
-All sorts are `jax.lax.sort` (stable, multi-key) — XLA maps these onto the
-TPU efficiently, and the arrays are int32 so they stream well from HBM.
+All sorts are `jax.lax.sort` (stable, multi-key). A Pallas radix sort is
+the planned next speed step; the sort count here is already minimal.
 """
 from __future__ import annotations
 
@@ -34,7 +38,7 @@ import numpy as np
 SEP_CODE = 0
 CODE_OF = {"#": 0, "A": 1, "C": 2, "G": 3, "T": 4}
 
-_PAD_BUCKET = 1 << 16  # pad n to a multiple of this to bound recompiles
+_SENT32 = np.uint32(0xFFFFFFFF)
 
 
 def encode(s: bytes | str) -> np.ndarray:
@@ -48,44 +52,136 @@ def encode(s: bytes | str) -> np.ndarray:
     return lut[arr]
 
 
+def _pack_plan(k: int) -> tuple[int, int]:
+    """(b, m): packed word width b (power of two) and covered length
+    m = min(k, 32); key pair = (p_b[i], p_b[i + m - b])."""
+    m = min(k, 32)
+    half = (m + 1) // 2
+    b = 1
+    while b * 2 <= m and b < 16:
+        b *= 2
+    # b is the largest power of two <= min(m, 16); ensure b covers overlap:
+    # need b >= m - b  <=>  2b >= m
+    while b * 2 < m:
+        b *= 2  # unreachable given b >= m/2 by construction, kept for safety
+    del half
+    return b, m
+
+
+# ---------------------------------------------------------------------------
+# JAX path
+# ---------------------------------------------------------------------------
+
 @functools.partial(jax.jit, static_argnums=(1,))
-def _rank_round(r_ext: jax.Array, n: int, off: jax.Array):
-    """One prefix-doubling round. r_ext has n real ranks + sentinel tail."""
+def _packed_keys(codes: jax.Array, k: int):
+    """(key1, key2, kvalid): overlapped packed keys covering min(k,32)
+    chars and the min(k,32)-validity mask."""
+    n = codes.shape[0]
+    b, m = _pack_plan(k)
+    pad = 40
+    c = jnp.concatenate([codes.astype(jnp.uint32),
+                         jnp.zeros((pad,), jnp.uint32)])
+    idx = jnp.arange(n + pad, dtype=jnp.int32)
+    sep_idx = jnp.where(c == SEP_CODE, idx, jnp.int32(n + pad))
+    next_sep = jnp.flip(jax.lax.cummin(jnp.flip(sep_idx)))
+    p = (c - 1) & 3
+    width = 1
+    while width < b:
+        p = (p << (2 * width)) | jnp.concatenate(
+            [p[width:], jnp.zeros((width,), jnp.uint32)])
+        width *= 2
+    key1 = p[:n]
+    off = m - b
+    key2 = jax.lax.dynamic_slice(p, (off,), (n,))
+    valid = (jnp.arange(n, dtype=jnp.int32) + m) <= next_sep[:n]
+    key1 = jnp.where(valid, key1, _SENT32)
+    key2 = jnp.where(valid, key2, _SENT32)
+    return key1, key2, next_sep[:n]
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _rank_sort_u32(keys, n: int):
+    key1, key2 = keys
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    sk1, sk2, sidx = jax.lax.sort((key1, key2, idx), num_keys=2,
+                                  is_stable=True)
+    flag = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        ((sk1[1:] != sk1[:-1]) | (sk2[1:] != sk2[:-1])).astype(jnp.int32)])
+    nr = jnp.cumsum(flag)
+    rank = jnp.zeros((n,), jnp.int32).at[sidx].set(nr)
+    return rank, sidx, nr[-1]
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _rank_round(r_ext: jax.Array, n: int, off):
     k1 = r_ext[:n]
     k2 = jax.lax.dynamic_slice(r_ext, (off,), (n,))
     idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
     sk1, sk2, sidx = jax.lax.sort((k1, k2, idx), num_keys=2, is_stable=True)
     flag = jnp.concatenate([
         jnp.zeros((1,), jnp.int32),
-        ((sk1[1:] != sk1[:-1]) | (sk2[1:] != sk2[:-1])).astype(jnp.int32),
-    ])
-    nr_sorted = jnp.cumsum(flag)
-    max_rank = nr_sorted[-1]
-    r_new = jnp.zeros((n,), jnp.int32).at[sidx].set(nr_sorted)
+        ((sk1[1:] != sk1[:-1]) | (sk2[1:] != sk2[:-1])).astype(jnp.int32)])
+    nr = jnp.cumsum(flag)
+    max_rank = nr[-1]
+    r_new = jnp.zeros((n,), jnp.int32).at[sidx].set(nr)
     r_ext_new = jax.lax.dynamic_update_slice(r_ext, r_new, (0,))
     return r_ext_new, sidx, max_rank
 
 
-def _sentinel_tail(n: int, pad: int) -> np.ndarray:
-    """Distinct negative sentinel ranks for out-of-range accesses."""
-    return -(np.arange(pad, dtype=np.int32) + 2)
+def _kmer_ranks_jax(codes: np.ndarray, k: int):
+    n = int(codes.shape[0])
+    key1, key2, _ = _packed_keys(jnp.asarray(codes), k)
+    rank, order, max_rank = _rank_sort_u32((key1, key2), n)
+    if k <= 32:
+        return np.asarray(rank), np.asarray(order)
+    length = 32
+    pad = k + 1
+    sentinel = jnp.asarray(-(np.arange(pad, dtype=np.int32) + 2))
+    r_ext = jnp.concatenate([rank, sentinel])
+    while length < k:
+        off = min(length, k - length)
+        r_ext, order, max_rank = _rank_round(r_ext, n, jnp.int32(off))
+        length += off
+        if length >= k:
+            break
+        if int(max_rank) == n - 1:
+            break
+    return np.asarray(r_ext[:n]), np.asarray(order)
 
+
+# ---------------------------------------------------------------------------
+# numpy path (small inputs: per-group trim indexes, tests)
+# ---------------------------------------------------------------------------
 
 def kmer_ranks_numpy(codes: np.ndarray, k: int):
-    """Pure-numpy twin of kmer_ranks for small inputs (e.g. the per-group
-    mini-indexes built during block trimming) where device dispatch and
-    compile caching would dominate."""
     n = int(codes.shape[0])
-    pad = k + 1
-    r = np.concatenate([codes.astype(np.int64), -(np.arange(pad) + 2)])
-    order = np.argsort(r[:n], kind="stable").astype(np.int64)
-    if k == 1:
-        sr = r[:n][order]
-        flag = np.concatenate([[0], (sr[1:] != sr[:-1]).astype(np.int64)])
-        rank = np.empty(n, dtype=np.int64)
-        rank[order] = np.cumsum(flag)
+    b, m = _pack_plan(k)
+    pad = 40
+    c = np.concatenate([codes.astype(np.uint64), np.zeros(pad, np.uint64)])
+    idx = np.arange(n + pad, dtype=np.int64)
+    sep_idx = np.where(c == SEP_CODE, idx, n + pad)
+    next_sep = np.minimum.accumulate(sep_idx[::-1])[::-1]
+    p = (c - 1) & 3
+    width = 1
+    while width < b:
+        shifted = np.concatenate([p[width:], np.zeros(width, np.uint64)])
+        p = (p << np.uint64(2 * width)) | shifted
+        width *= 2
+    off = m - b
+    valid = (np.arange(n, dtype=np.int64) + m) <= next_sep[:n]
+    big = (p[:n] << np.uint64(32)) | p[off:off + n]
+    big = np.where(valid, big, np.uint64(0xFFFFFFFFFFFFFFFF))
+    order = np.argsort(big, kind="stable").astype(np.int64)
+    sb = big[order]
+    flag = np.concatenate([[0], (sb[1:] != sb[:-1]).astype(np.int64)])
+    nr = np.cumsum(flag)
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = nr
+    if k <= 32:
         return rank, order
-    length = 1
+    r = np.concatenate([rank, -(np.arange(k + 1, dtype=np.int64) + 2)])
+    length = 32
     while length < k:
         off = min(length, k - length)
         k1 = r[:n]
@@ -94,12 +190,12 @@ def kmer_ranks_numpy(codes: np.ndarray, k: int):
         sk1, sk2 = k1[order], k2[order]
         flag = np.concatenate(
             [[0], ((sk1[1:] != sk1[:-1]) | (sk2[1:] != sk2[:-1])).astype(np.int64)])
-        ranks_sorted = np.cumsum(flag)
+        nr = np.cumsum(flag)
         r_new = np.empty(n, dtype=np.int64)
-        r_new[order] = ranks_sorted
+        r_new[order] = nr
         r[:n] = r_new
         length += off
-        if ranks_sorted[-1] == n - 1:
+        if nr[-1] == n - 1:
             break
     return r[:n].copy(), order
 
@@ -108,32 +204,11 @@ _NUMPY_THRESHOLD = 1 << 16
 
 
 def kmer_ranks(codes: np.ndarray, k: int):
-    """Return (rank, order): rank[i] = dense lex rank of s[i:i+k] (int32),
-    order = positions sorted by rank (stable). Positions whose k-mer would
-    run past the end of `codes` get ranks based on unique sentinels (they
-    never equal any other position's rank unless truly identical).
-    """
+    """Return (rank, order): rank[i] = dense lex rank of s[i:i+k], order =
+    positions sorted by rank (stable). Positions whose k-window crosses a
+    separator or the end get sentinel-key ranks, never equal to any valid
+    k-mer's rank; the enumeration filters them."""
     n = int(codes.shape[0])
     if n < _NUMPY_THRESHOLD:
         return kmer_ranks_numpy(codes, k)
-    assert k >= 1
-    pad = k + 1
-    r_ext = np.concatenate([codes.astype(np.int32), _sentinel_tail(n, pad)])
-    r_ext = jnp.asarray(r_ext)
-
-    if k == 1:
-        idx = jnp.arange(n, dtype=jnp.int32)
-        r, order, _ = _rank_round(r_ext, n, jnp.int32(0))
-        return np.asarray(r[:n]), np.asarray(order)
-
-    length = 1
-    order = None
-    while length < k:
-        off = min(length, k - length)
-        r_ext, order, max_rank = _rank_round(r_ext, n, jnp.int32(off))
-        length += off
-        if length >= k:
-            break
-        if int(max_rank) == n - 1:
-            break  # all distinct; order is final
-    return np.asarray(r_ext[:n]), np.asarray(order)
+    return _kmer_ranks_jax(codes, k)

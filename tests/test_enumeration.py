@@ -16,27 +16,29 @@ def _random_genomes(rng, n_chr, lo, hi):
 
 
 def test_kmer_ranks_matches_brute_force():
+    # contract: ranks are exact (grouping + lex order) for *valid* k-mers
+    # (windows not crossing a separator); invalid windows get sentinel
+    # ranks that never equal a valid k-mer's rank
     rng = np.random.default_rng(0)
     s = bytes(rng.choice([35, 65, 67, 71, 84], size=200, p=[0.05, 0.25, 0.25, 0.25, 0.2]).astype(np.uint8))
-    for k in (1, 2, 3, 5, 8, 13, 31):
+    for k in (1, 2, 3, 5, 8, 13, 31, 40):
         codes = encode(s)
         rank, order = kmer_ranks(codes, k)
         n = len(s)
         kmers = [s[i:i + k] for i in range(n)]
-        # brute-force dense rank of k-prefixes, padding shorter tails uniquely
-        def key(i):
-            km = kmers[i]
-            return (km, n - i) if len(km) < k else (km, 0)
-        expect_sorted = sorted(range(n), key=key)
-        # ranks must induce the same grouping for full-length k-mers
-        for i in range(n - k + 1):
-            for j in range(i + 1, n - k + 1):
-                same = kmers[i] == kmers[j]
-                assert (rank[i] == rank[j]) == same, (k, i, j)
-        # and rank order must equal lexicographic order among full k-mers
-        full = [i for i in range(n - k + 1)]
-        by_rank = sorted(full, key=lambda i: (rank[i], i))
-        by_lex = sorted(full, key=lambda i: (kmers[i], i))
+        valid = [i for i in range(n - k + 1) if 35 not in kmers[i]]
+        vset = set(valid)
+        for i in valid:
+            for j in range(n):
+                if j == i:
+                    continue
+                same = bool(rank[i] == rank[j])
+                if j in vset:
+                    assert same == (kmers[i] == kmers[j]), (k, i, j)
+                else:
+                    assert not same, (k, i, j)
+        by_rank = sorted(valid, key=lambda i: (rank[i], i))
+        by_lex = sorted(valid, key=lambda i: (kmers[i], i))
         assert by_rank == by_lex
 
 

@@ -1,0 +1,38 @@
+import numpy as np
+import pytest
+
+from sibelia_tpu.index.ranking import _kmer_ranks_jax, encode, kmer_ranks_numpy
+
+
+@pytest.mark.parametrize("k", [2, 8, 15, 16, 17, 30, 32, 33, 50, 100])
+@pytest.mark.parametrize("seed", [0, 1])
+def test_jax_matches_numpy(k, seed):
+    rng = np.random.default_rng(seed)
+    s = bytes(rng.choice([35, 65, 67, 71, 84], size=3000,
+                         p=[0.02, 0.25, 0.25, 0.25, 0.23]).astype(np.uint8))
+    codes = encode(s)
+    rank_j, order_j = _kmer_ranks_jax(codes, k)
+    rank_n, order_n = kmer_ranks_numpy(codes, k)
+    n = len(s)
+    # valid positions must agree on grouping and order; compare dense ranks
+    # restricted to valid positions (sentinel buckets may differ)
+    next_sep = np.full(n, n + 100)
+    last = n + 100
+    for i in range(n - 1, -1, -1):
+        if codes[i] == 0:
+            last = i
+        next_sep[i] = last
+    valid = (np.arange(n) + k) <= next_sep
+    vi = np.flatnonzero(valid)
+    # grouping equality
+    import collections
+    def groups(rank):
+        g = collections.defaultdict(list)
+        for i in vi:
+            g[int(rank[i])].append(i)
+        return sorted(g.values())
+    assert groups(rank_j) == groups(rank_n)
+    # lex order of valid positions identical
+    oj = [i for i in order_j if valid[i]]
+    on = [i for i in order_n if valid[i]]
+    assert oj == on
