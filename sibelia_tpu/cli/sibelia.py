@@ -111,7 +111,8 @@ def run(argv: list[str]) -> int:
                 history[-1] = glue_stripes(history[-1], chr_list)
             if args.correctboundaries:
                 from ..blocks.boundaries import improve_block_boundaries
-                improve_block_boundaries(history[-1], reference_chr_id)
+                improve_block_boundaries(history[-1], reference_chr_id,
+                                         args.minblocksize)
 
             if args.allstages:
                 for i, blocks in enumerate(history):
