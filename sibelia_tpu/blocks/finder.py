@@ -29,10 +29,20 @@ class BlockFinder:
     def perform_graph_simplifications(self, k: int, min_branch: int,
                                       max_iterations: int,
                                       progress=None) -> int:
-        """Reference: blockfinder.cpp:78-98."""
+        """Reference: blockfinder.cpp:78-98. Uses the native C++ engine
+        when available (sibelia_tpu/native), else the Python engine —
+        both produce identical results (tests/test_native_engine.py)."""
+        from ..graph import simplify as simplify_mod
+        from ..graph.indexed import randomize_and_enumerate, store_from_enum
+        from ..native import simplify_native
         seq = MutableSequence(self.raw_seq, self.original_pos)
-        store = build_index(seq, k, self.rand)
-        ret = simplify_graph(seq, store, k, min_branch, max_iterations, progress)
+        enum = randomize_and_enumerate(seq, k, self.rand)
+        ret = None
+        if simplify_mod.TRACE is None:
+            ret = simplify_native(seq, enum, k, min_branch, max_iterations)
+        if ret is None:
+            store = store_from_enum(seq, enum)
+            ret = simplify_graph(seq, store, k, min_branch, max_iterations, progress)
         self.raw_seq = seq.to_strings()
         self.original_pos = [op.copy() for op in seq.origpos]
         return ret

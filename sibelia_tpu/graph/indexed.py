@@ -32,12 +32,22 @@ def randomize_ambiguous(seq: MutableSequence, rand: GlibcRand) -> None:
             arr[i] = DEFINITE[rand.rand() % 4]
 
 
+def randomize_and_enumerate(seq: MutableSequence, k: int,
+                            rand: GlibcRand | None = None):
+    """Randomize ambiguity codes in place and enumerate bifurcations."""
+    if rand is not None:
+        randomize_ambiguous(seq, rand)
+    return enumerate_bifurcations(seq.to_strings(), k)
+
+
 def build_index(seq: MutableSequence, k: int, rand: GlibcRand | None = None) -> BifStore:
     """Randomize ambiguity codes in place, enumerate bifurcations at k, and
     construct the point store with reference list order."""
-    if rand is not None:
-        randomize_ambiguous(seq, rand)
-    enum = enumerate_bifurcations(seq.to_strings(), k)
+    enum = randomize_and_enumerate(seq, k, rand)
+    return store_from_enum(seq, enum)
+
+
+def store_from_enum(seq: MutableSequence, enum) -> BifStore:
     store = BifStore(seq, enum.count)
 
     total = int(enum.chr[0].size + enum.chr[1].size)

@@ -1,0 +1,110 @@
+"""Native (C++) simplification engine loader.
+
+Builds sibelia_tpu/native/engine.cpp into a shared library on first use
+(g++ -O2 -shared) and exposes it through ctypes. Falls back to the Python
+engine transparently if a toolchain is unavailable
+(SIBELIA_TPU_NATIVE=0 disables it explicitly).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "engine.cpp")
+_SO = os.path.join(_DIR, "build", "libsibelia_engine.so")
+
+_lib = None
+_tried = False
+
+
+def load() -> ctypes.CDLL | None:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("SIBELIA_TPU_NATIVE", "1") == "0":
+        return None
+    try:
+        if (not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            os.makedirs(os.path.dirname(_SO), exist_ok=True)
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC", "-o", _SO, _SRC],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(_SO)
+    except (OSError, subprocess.CalledProcessError):
+        return None
+    lib.engine_create.restype = ctypes.c_void_p
+    lib.engine_create.argtypes = [
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.c_int64)]
+    lib.engine_set_bifs.restype = None
+    lib.engine_set_bifs.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.engine_simplify.restype = ctypes.c_int64
+    lib.engine_simplify.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                    ctypes.c_int64, ctypes.c_int64]
+    lib.engine_chr_len.restype = ctypes.c_int64
+    lib.engine_chr_len.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.engine_get_chr.restype = None
+    lib.engine_get_chr.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                   ctypes.c_void_p, ctypes.c_void_p]
+    lib.engine_destroy.restype = None
+    lib.engine_destroy.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return _lib
+
+
+def simplify_native(seq, enum, k: int, min_branch: int,
+                    max_iterations: int) -> int | None:
+    """Run the full simplification stage natively. `seq` is a
+    MutableSequence (mutated in place on success); `enum` a BifEnumeration.
+    Returns the bulge count, or None if the native engine is unavailable.
+    """
+    lib = load()
+    if lib is None:
+        return None
+    n_chr = seq.n_chr
+    chr_lens = (ctypes.c_int64 * n_chr)(*[seq.chr_len(c) for c in range(n_chr)])
+    char_bufs = [np.ascontiguousarray(seq.chars[c]) for c in range(n_chr)]
+    op_bufs = [np.ascontiguousarray(seq.origpos[c]) for c in range(n_chr)]
+    char_ptrs = (ctypes.c_void_p * n_chr)(
+        *[b.ctypes.data_as(ctypes.c_void_p).value for b in char_bufs])
+    op_ptrs = (ctypes.c_void_p * n_chr)(
+        *[b.ctypes.data_as(ctypes.c_void_p).value for b in op_bufs])
+    sep = (ctypes.c_int64 * n_chr)(*seq.sep_origpos)
+    handle = lib.engine_create(n_chr, chr_lens, char_ptrs, op_ptrs, sep)
+    try:
+        lens = np.asarray([seq.chr_len(c) for c in range(n_chr)], dtype=np.int64)
+        packed = []
+        for strand in (0, 1):
+            chrs = enum.chr[strand].astype(np.int32)
+            poss = enum.pos[strand].astype(np.int64)
+            bids = enum.bif_id[strand].astype(np.int64)
+            coords = poss if strand == 0 else (lens[chrs] - 1 - poss)
+            packed.append((np.ascontiguousarray(chrs),
+                           np.ascontiguousarray(coords),
+                           np.ascontiguousarray(bids)))
+        (c0, p0, b0), (c1, p1, b1) = packed
+        lib.engine_set_bifs(
+            handle, enum.count,
+            len(c0), c0.ctypes.data, p0.ctypes.data, b0.ctypes.data,
+            len(c1), c1.ctypes.data, p1.ctypes.data, b1.ctypes.data)
+        ret = lib.engine_simplify(handle, k, min_branch, max_iterations)
+        for c in range(n_chr):
+            ln = lib.engine_chr_len(handle, c)
+            chars = np.empty(ln, dtype=np.uint8)
+            op = np.empty(ln, dtype=np.int64)
+            lib.engine_get_chr(handle, c, chars.ctypes.data, op.ctypes.data)
+            seq.chars[c] = chars
+            seq.origpos[c] = op
+        return int(ret)
+    finally:
+        lib.engine_destroy(handle)

@@ -1,0 +1,610 @@
+// Native graph-simplification engine.
+//
+// C++ twin of sibelia_tpu/graph/{sequence,bifstore,simplify}.py — the
+// host-side runtime of the framework (the role the reference's C++ plays
+// around its pointer machine, here over flat arrays). Semantics are
+// identical to the Python engine, which is differential-tested against
+// the reference binary; this engine is differential-tested against the
+// Python engine (tests/test_native_engine.py).
+//
+// Exposed as a C ABI consumed via ctypes (no pybind11 dependency).
+//
+// Reference provenance for the algorithm:
+//   bulge walks / collapse protocol  src/bulgeremoval.cpp
+//   splice + position interpolation  src/dnasequence.cpp:189-252
+//   point store (LIFO + lazy)        src/bifurcationstorage.cpp
+//   bulge-order container            boost 1.54 unordered_map (mix64)
+//   stage loop                       src/blockfinder.cpp:16-51
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <deque>
+#include <map>
+#include <vector>
+
+namespace {
+
+typedef int64_t i64;
+typedef uint64_t u64;
+
+const i64 NO_BIF = (1LL << 32) - 1;
+const uint8_t EMPTY_CH = ' ';
+
+uint8_t COMP[256];
+struct CompInit {
+    CompInit() {
+        for (int i = 0; i < 256; i++) COMP[i] = (uint8_t)i;
+        const char* a = "ATGCatgc";
+        const char* b = "TACGtacg";
+        for (int i = 0; i < 8; i++) COMP[(uint8_t)a[i]] = (uint8_t)b[i];
+    }
+} comp_init;
+
+// ---------------------------------------------------------------------------
+// boost 1.54 unordered_map iteration-order emulation (mix64 policy)
+// ---------------------------------------------------------------------------
+
+inline u64 mix64(u64 key) {
+    key = (~key) + (key << 21);
+    key = key ^ (key >> 24);
+    key = (key + (key << 3)) + (key << 8);
+    key = key ^ (key >> 14);
+    key = (key + (key << 2)) + (key << 4);
+    key = key ^ (key >> 28);
+    key = key + (key << 31);
+    return key;
+}
+
+struct BoostMapValue {
+    uint8_t end_char;
+    std::vector<int> branch_ids;
+};
+
+struct BoostNode {
+    u64 key;
+    u64 hash;
+    BoostMapValue value;
+    BoostNode* next;
+};
+
+struct Boost154Map {
+    size_t bucket_count;
+    std::vector<BoostNode**> buckets;  // pointer to the link preceding the
+                                       // bucket's first node (i.e. &link->next)
+    // We model links as BoostNode* slots; the "previous link" is a pointer
+    // to a `next` field. prev_start is the sentinel's next field.
+    BoostNode* prev_start_next;
+    size_t size;
+    size_t max_load;
+    bool buckets_created;
+    std::deque<BoostNode> storage;
+
+    Boost154Map() : bucket_count(16), prev_start_next(nullptr), size(0),
+                    max_load(0), buckets_created(false) {}
+
+    static size_t new_bucket_count(size_t minimum) {
+        if (minimum <= 4) return 4;
+        size_t m = minimum - 1;
+        m |= m >> 1; m |= m >> 2; m |= m >> 4; m |= m >> 8; m |= m >> 16;
+        m |= m >> 32;
+        return m + 1;
+    }
+
+    size_t to_bucket(u64 h) const { return (size_t)(h & (bucket_count - 1)); }
+
+    void create_buckets(size_t n) {
+        bucket_count = n;
+        buckets.assign(n, nullptr);
+        max_load = n;
+        buckets_created = true;
+    }
+
+    void rehash_impl(size_t num_buckets) {
+        create_buckets(num_buckets);
+        BoostNode** prev = &prev_start_next;
+        while (*prev != nullptr) {
+            BoostNode* n = *prev;
+            size_t bi = to_bucket(n->hash);
+            if (buckets[bi] == nullptr) {
+                buckets[bi] = prev;
+                prev = &n->next;
+            } else {
+                *prev = n->next;
+                n->next = *buckets[bi];
+                *buckets[bi] = n;
+            }
+        }
+    }
+
+    void reserve_for_insert(size_t want) {
+        if (!buckets_created) {
+            create_buckets(std::max(bucket_count, new_bucket_count(want + 1)));
+        } else if (want > max_load) {
+            size_t num = new_bucket_count(std::max(want, size + (size >> 1)) + 1);
+            if (num != bucket_count) rehash_impl(num);
+        }
+    }
+
+    BoostMapValue* find(u64 key) {
+        if (!buckets_created || size == 0) return nullptr;
+        u64 h = mix64(key);
+        size_t bi = to_bucket(h);
+        if (buckets[bi] == nullptr) return nullptr;
+        BoostNode* n = *buckets[bi];
+        while (n != nullptr && to_bucket(n->hash) == bi) {
+            if (n->key == key) return &n->value;
+            n = n->next;
+        }
+        return nullptr;
+    }
+
+    void insert(u64 key, uint8_t end_char, int branch) {
+        u64 h = mix64(key);
+        reserve_for_insert(size + 1);
+        storage.push_back(BoostNode());
+        BoostNode* n = &storage.back();
+        n->key = key;
+        n->hash = h;
+        n->value.end_char = end_char;
+        n->value.branch_ids.push_back(branch);
+        n->next = nullptr;
+        size_t bi = to_bucket(h);
+        if (buckets[bi] == nullptr) {
+            if (prev_start_next != nullptr) {
+                buckets[to_bucket(prev_start_next->hash)] = &n->next;
+            }
+            buckets[bi] = &prev_start_next;
+            n->next = prev_start_next;
+            prev_start_next = n;
+        } else {
+            n->next = *buckets[bi];
+            *buckets[bi] = n;
+        }
+        size++;
+    }
+};
+
+// ---------------------------------------------------------------------------
+// engine state
+// ---------------------------------------------------------------------------
+
+struct Engine {
+    int n_chr;
+    std::vector<std::vector<uint8_t> > chars;
+    std::vector<std::vector<i64> > origpos;
+    std::vector<i64> sep_origpos;
+    // bifurcation store
+    std::vector<std::vector<i64> > bif_at[2];
+    std::vector<int8_t> node_strand;
+    std::vector<int32_t> node_chr;
+    std::vector<i64> node_pos;
+    std::vector<i64> node_bif;
+    i64 max_id;
+    std::vector<std::deque<i64> > lists[2];  // per bifId, front-insert
+    std::vector<std::pair<std::pair<int, i64>, i64> > to_clear;  // ((strand,bif),idx)
+
+    i64 get_node_at(int strand, int c, i64 pos) const {
+        return bif_at[strand][c][pos];
+    }
+    i64 get_bif(int strand, int c, i64 pos) const {
+        i64 idx = bif_at[strand][c][pos];
+        return idx < 0 ? NO_BIF : node_bif[idx];
+    }
+    size_t count_bifurcations(i64 bif) const {
+        return lists[0][bif].size() + lists[1][bif].size();
+    }
+    void add_point(int strand, int c, i64 pos, i64 bif) {
+        if (bif == NO_BIF) return;
+        if (bif_at[strand][c][pos] >= 0) return;
+        i64 idx = (i64)node_strand.size();
+        node_strand.push_back((int8_t)strand);
+        node_chr.push_back(c);
+        node_pos.push_back(pos);
+        node_bif.push_back(bif);
+        bif_at[strand][c][pos] = idx;
+        lists[strand][bif].push_front(idx);
+    }
+    void erase_point(int strand, int c, i64 pos) {
+        i64 idx = bif_at[strand][c][pos];
+        if (idx < 0) return;
+        i64 bif = node_bif[idx];
+        bif_at[strand][c][pos] = -1;
+        node_bif[idx] = NO_BIF;
+        to_clear.push_back(std::make_pair(std::make_pair(strand, bif), idx));
+    }
+    void cleanup() {
+        for (size_t i = 0; i < to_clear.size(); i++) {
+            int strand = to_clear[i].first.first;
+            i64 bif = to_clear[i].first.second;
+            i64 idx = to_clear[i].second;
+            std::deque<i64>& lst = lists[strand][bif];
+            std::deque<i64>::iterator it = std::find(lst.begin(), lst.end(), idx);
+            if (it != lst.end()) lst.erase(it);
+        }
+        to_clear.clear();
+    }
+    void apply_splice(int c, i64 start, i64 stop, i64 new_len) {
+        i64 delta = new_len - (stop - start);
+        for (int strand = 0; strand < 2; strand++) {
+            std::vector<i64>& arr = bif_at[strand][c];
+            std::vector<i64> na;
+            na.reserve(arr.size() + delta);
+            na.insert(na.end(), arr.begin(), arr.begin() + start);
+            na.insert(na.end(), (size_t)new_len, (i64)-1);
+            na.insert(na.end(), arr.begin() + stop, arr.end());
+            arr.swap(na);
+        }
+        if (delta != 0) {
+            size_t n = node_pos.size();
+            for (size_t i = 0; i < n; i++) {
+                if (node_chr[i] == c && node_pos[i] >= stop) node_pos[i] += delta;
+            }
+        }
+    }
+};
+
+inline i64 advance(i64 pos, int strand, i64 n) {
+    return strand == 0 ? pos + n : pos - n;
+}
+
+inline uint8_t char_at(const Engine& e, int strand, int c, i64 pos) {
+    uint8_t b = e.chars[c][pos];
+    return strand ? COMP[b] : b;
+}
+
+bool proper_kmer(const Engine& e, int strand, int c, i64 pos, i64 k) {
+    if (strand == 0) return pos >= 0 && pos + k <= (i64)e.chars[c].size();
+    return pos < (i64)e.chars[c].size() && pos - k >= -1;
+}
+
+// walk forward collecting bifurcation marks at steps 1..max_steps-1
+struct Mark { i64 step; i64 node; };
+
+void scan_forward(const Engine& e, int strand, int c, i64 pos, i64 max_steps,
+                  std::vector<Mark>& out) {
+    out.clear();
+    const std::vector<i64>& arr = e.bif_at[strand][c];
+    if (strand == 0) {
+        i64 hi = std::min(pos + max_steps, (i64)arr.size());
+        for (i64 p = pos + 1; p < hi; p++) {
+            if (arr[p] >= 0) { Mark m = {p - pos, arr[p]}; out.push_back(m); }
+        }
+    } else {
+        i64 lo = std::max(pos - max_steps + 1, (i64)0);
+        for (i64 p = pos - 1; p >= lo; p--) {
+            if (arr[p] >= 0) { Mark m = {pos - p, arr[p]}; out.push_back(m); }
+        }
+    }
+}
+
+void fill_visit(const Engine& e, int strand, int c, i64 pos, i64 min_branch,
+                std::vector<std::pair<i64, i64> >& out) {
+    out.clear();
+    i64 start = e.get_bif(strand, c, pos);
+    std::vector<Mark> marks;
+    scan_forward(e, strand, c, pos, min_branch, marks);
+    for (size_t i = 0; i < marks.size(); i++) {
+        i64 b = e.node_bif[marks[i].node];
+        if (b == start) break;
+        out.push_back(std::make_pair(b, marks[i].step));
+    }
+    std::sort(out.begin(), out.end());
+}
+
+bool overlap(const Engine& e, i64 k, i64 a_idx, i64 a_dist, i64 b_idx, i64 b_dist) {
+    if (e.node_chr[a_idx] != e.node_chr[b_idx]) return false;
+    i64 a0, a1, b0, b1;
+    if (e.node_strand[a_idx] == 0) { a0 = e.node_pos[a_idx]; a1 = a0 + a_dist + k; }
+    else { a1 = e.node_pos[a_idx] + 1; a0 = a1 - a_dist - k; }
+    if (e.node_strand[b_idx] == 0) { b0 = e.node_pos[b_idx]; b1 = b0 + b_dist + k; }
+    else { b1 = e.node_pos[b_idx] + 1; b0 = b1 - b_dist - k; }
+    return a0 < b1 && b0 < a1;
+}
+
+i64 max_bif_multiplicity(const Engine& e, i64 idx, i64 distance) {
+    int strand = e.node_strand[idx];
+    int c = e.node_chr[idx];
+    i64 pos = e.node_pos[idx];
+    std::vector<Mark> marks;
+    scan_forward(e, strand, c, pos, distance, marks);
+    i64 ret = 0;
+    for (size_t i = 0; i < marks.size(); i++) {
+        i64 cnt = (i64)e.count_bifurcations(e.node_bif[marks[i].node]);
+        if (cnt > ret) ret = cnt;
+    }
+    return ret;
+}
+
+void collapse_bulge(Engine& e, i64 k, i64 src_idx, i64 src_dist,
+                    i64 tgt_idx, i64 tgt_dist) {
+    int s_t = e.node_strand[tgt_idx];
+    int c_t = e.node_chr[tgt_idx];
+    i64 p_t = e.node_pos[tgt_idx];
+    int s_s = e.node_strand[src_idx];
+    int c_s = e.node_chr[src_idx];
+    i64 p_s = e.node_pos[src_idx];
+    i64 td = tgt_dist, sd = src_dist;
+
+    // 1. EraseBifurcations
+    std::vector<std::pair<i64, i64> > look_back, look_forward;
+    for (i64 i = 0; i < k; i++) {
+        i64 a_coord = s_t == 0 ? p_t + k - 1 - i : p_t - (k - 1 - i);
+        i64 b = e.get_bif(1 - s_t, c_t, a_coord);
+        if (b != NO_BIF) {
+            e.erase_point(1 - s_t, c_t, a_coord);
+            look_back.push_back(std::make_pair(i, b));
+        }
+        i64 b_coord = advance(p_t, s_t, td + i);
+        b = e.get_bif(s_t, c_t, b_coord);
+        if (b != NO_BIF) {
+            e.erase_point(s_t, c_t, b_coord);
+            look_forward.push_back(std::make_pair(i, b));
+        }
+    }
+    for (i64 eidx = 0; eidx < k + td; eidx++) {
+        if (eidx > 0) e.erase_point(s_t, c_t, advance(p_t, s_t, eidx));
+        e.erase_point(1 - s_t, c_t, advance(p_t, s_t, k + td - 1 - eidx));
+    }
+
+    // 2. Replace: spell source interior on source strand
+    std::vector<uint8_t> content((size_t)sd);
+    {
+        i64 q = advance(p_s, s_s, k);
+        if (s_s == 0) {
+            for (i64 i = 0; i < sd; i++) content[i] = e.chars[c_s][q + i];
+        } else {
+            for (i64 i = 0; i < sd; i++) content[i] = COMP[e.chars[c_s][q - i]];
+        }
+    }
+    i64 span_start, span_stop;
+    if (s_t == 0) { span_start = p_t + k; span_stop = p_t + k + td; }
+    else {
+        span_start = p_t - k - td + 1; span_stop = p_t - k + 1;
+        // reverse complement for the positive frame
+        std::vector<uint8_t> rc((size_t)sd);
+        for (i64 i = 0; i < sd; i++) rc[i] = COMP[content[sd - 1 - i]];
+        content.swap(rc);
+    }
+    i64 first_pos = e.origpos[c_t][span_start];
+    i64 last_pos = (span_start + td == (i64)e.chars[c_t].size())
+                       ? e.sep_origpos[c_t] : e.origpos[c_t][span_start + td];
+    {
+        std::vector<uint8_t>& ch = e.chars[c_t];
+        std::vector<uint8_t> nc;
+        nc.reserve(ch.size() + sd - td);
+        nc.insert(nc.end(), ch.begin(), ch.begin() + span_start);
+        nc.insert(nc.end(), content.begin(), content.end());
+        nc.insert(nc.end(), ch.begin() + span_stop, ch.end());
+        ch.swap(nc);
+        std::vector<i64>& op = e.origpos[c_t];
+        std::vector<i64> no;
+        no.reserve(op.size() + sd - td);
+        no.insert(no.end(), op.begin(), op.begin() + span_start);
+        no.insert(no.end(), (size_t)sd, (i64)0);
+        no.insert(no.end(), op.begin() + span_stop, op.end());
+        op.swap(no);
+    }
+    e.apply_splice(c_t, span_start, span_stop, sd);
+    {
+        double acc = (double)first_pos;
+        double ssize = (double)td / (double)sd;
+        std::vector<i64>& op = e.origpos[c_t];
+        for (i64 step = 0; step < sd; step++) {
+            i64 v = (i64)acc;
+            op[span_start + step] = v < last_pos ? v : last_pos;
+            acc += ssize;
+        }
+    }
+
+    // 3. UpdateBifurcations
+    p_t = e.node_pos[tgt_idx];
+    p_s = e.node_pos[src_idx];
+    size_t anear = 0, bnear = 0;
+    for (i64 i = 0; i < k; i++) {
+        i64 a_coord = s_t == 0 ? p_t + k - 1 - i : p_t - (k - 1 - i);
+        if (anear < look_back.size() && look_back[anear].first == i) {
+            e.add_point(1 - s_t, c_t, a_coord, look_back[anear].second);
+            anear++;
+        }
+        i64 b_coord = advance(p_t, s_t, sd + i);
+        if (bnear < look_forward.size() && look_forward[bnear].first == i) {
+            e.add_point(s_t, c_t, b_coord, look_forward[bnear].second);
+            bnear++;
+        }
+    }
+    for (i64 i = 0; i <= sd; i++) {
+        i64 b = e.get_bif(s_s, c_s, advance(p_s, s_s, i));
+        if (b != NO_BIF) e.add_point(s_t, c_t, advance(p_t, s_t, i), b);
+        i64 off = sd + k - 1 - i;
+        b = e.get_bif(1 - s_s, c_s, advance(p_s, s_s, off));
+        if (b != NO_BIF) e.add_point(1 - s_t, c_t, advance(p_t, s_t, off), b);
+    }
+}
+
+i64 remove_bulges(Engine& e, i64 k, i64 min_branch, i64 bif_id) {
+    i64 ret = 0;
+    std::vector<i64> start_nodes;
+    for (int strand = 0; strand < 2; strand++) {
+        std::deque<i64>& lst = e.lists[strand][bif_id];
+        start_nodes.insert(start_nodes.end(), lst.begin(), lst.end());
+    }
+    if (start_nodes.size() < 2) return ret;
+
+    std::vector<uint8_t> end_char(start_nodes.size(), EMPTY_CH);
+    for (size_t i = 0; i < start_nodes.size(); i++) {
+        i64 idx = start_nodes[i];
+        int strand = e.node_strand[idx];
+        int c = e.node_chr[idx];
+        i64 pos = e.node_pos[idx];
+        if (proper_kmer(e, strand, c, pos, k + 1)) {
+            end_char[i] = char_at(e, strand, c, advance(pos, strand, k));
+        }
+    }
+
+    // AnyBulges with boost iteration order
+    Boost154Map visit;
+    std::vector<Mark> marks;
+    for (size_t i = 0; i < start_nodes.size(); i++) {
+        if (end_char[i] == EMPTY_CH) continue;
+        i64 idx = start_nodes[i];
+        int strand = e.node_strand[idx];
+        int c = e.node_chr[idx];
+        i64 pos = e.node_pos[idx];
+        i64 start = e.get_bif(strand, c, pos);
+        scan_forward(e, strand, c, pos, min_branch, marks);
+        for (size_t m = 0; m < marks.size(); m++) {
+            i64 b = e.node_bif[marks[m].node];
+            if (b == start) break;
+            BoostMapValue* entry = visit.find((u64)b);
+            if (entry == nullptr) {
+                visit.insert((u64)b, end_char[i], (int)i);
+            } else if (entry->end_char != end_char[i]) {
+                entry->branch_ids.push_back((int)i);
+                break;
+            }
+        }
+    }
+    std::vector<std::vector<int> > bulges;
+    for (BoostNode* n = visit.prev_start_next; n != nullptr; n = n->next) {
+        if (n->value.branch_ids.size() > 1) bulges.push_back(n->value.branch_ids);
+    }
+    if (bulges.empty()) return ret;
+
+    std::vector<std::pair<i64, i64> > vis;
+    for (size_t nb = 0; nb < bulges.size(); nb++) {
+        std::vector<int>& bulge = bulges[nb];
+        for (size_t id_i = 0; id_i < bulge.size(); id_i++) {
+            int kmer_i = bulge[id_i];
+            i64 node_i = start_nodes[kmer_i];
+            if (e.node_bif[node_i] == NO_BIF) continue;
+            int si = e.node_strand[node_i];
+            int ci = e.node_chr[node_i];
+            i64 pi = e.node_pos[node_i];
+            fill_visit(e, si, ci, pi, min_branch, vis);
+            for (size_t id_j = id_i + 1; id_j < bulge.size(); id_j++) {
+                int kmer_j = bulge[id_j];
+                i64 node_j = start_nodes[kmer_j];
+                if (e.node_bif[node_j] == NO_BIF
+                    || end_char[kmer_i] == end_char[kmer_j]) continue;
+                int sj = e.node_strand[node_j];
+                int cj = e.node_chr[node_j];
+                i64 pj = e.node_pos[node_j];
+                scan_forward(e, sj, cj, pj, min_branch, marks);
+                for (size_t m = 0; m < marks.size(); m++) {
+                    i64 now_bif = e.node_bif[marks[m].node];
+                    if (now_bif == bif_id) break;
+                    std::vector<std::pair<i64, i64> >::iterator vt =
+                        std::lower_bound(vis.begin(), vis.end(),
+                                         std::make_pair(now_bif, (i64)0));
+                    if (vt != vis.end() && vt->first == now_bif) {
+                        i64 j_dist = marks[m].step;
+                        i64 i_dist = vt->second;
+                        if (overlap(e, k, node_i, i_dist, node_j, j_dist)) break;
+                        ret++;
+                        i64 imlp = max_bif_multiplicity(e, node_i, i_dist);
+                        i64 jmlp = max_bif_multiplicity(e, node_j, j_dist);
+                        bool iless = imlp > jmlp || (imlp == jmlp && kmer_i < kmer_j);
+                        if (iless) {
+                            end_char[kmer_j] = end_char[kmer_i];
+                            collapse_bulge(e, k, node_i, i_dist, node_j, j_dist);
+                        } else {
+                            end_char[kmer_i] = end_char[kmer_j];
+                            collapse_bulge(e, k, node_j, j_dist, node_i, i_dist);
+                            pi = e.node_pos[node_i];
+                            fill_visit(e, si, ci, pi, min_branch, vis);
+                        }
+                        break;
+                    }
+                }
+            }
+        }
+    }
+    e.cleanup();
+    return ret;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* engine_create(int n_chr, const i64* chr_lens,
+                    const uint8_t* const* chars,
+                    const i64* const* origpos,
+                    const i64* sep_origpos) {
+    Engine* e = new Engine();
+    e->n_chr = n_chr;
+    e->chars.resize(n_chr);
+    e->origpos.resize(n_chr);
+    e->sep_origpos.assign(sep_origpos, sep_origpos + n_chr);
+    for (int c = 0; c < n_chr; c++) {
+        e->chars[c].assign(chars[c], chars[c] + chr_lens[c]);
+        e->origpos[c].assign(origpos[c], origpos[c] + chr_lens[c]);
+        for (int s = 0; s < 2; s++) {
+            e->bif_at[s].push_back(std::vector<i64>((size_t)chr_lens[c], -1));
+        }
+    }
+    return e;
+}
+
+// instances per strand in scan order (chr asc, coord order matching the
+// reference walk); coords are positive-frame
+void engine_set_bifs(void* handle, i64 max_id,
+                     i64 n0, const int32_t* chr0, const i64* coord0, const i64* bif0,
+                     i64 n1, const int32_t* chr1, const i64* coord1, const i64* bif1) {
+    Engine* e = (Engine*)handle;
+    e->max_id = max_id;
+    for (int s = 0; s < 2; s++) {
+        e->lists[s].assign((size_t)max_id + 2, std::deque<i64>());
+    }
+    e->node_strand.clear();
+    e->node_chr.clear();
+    e->node_pos.clear();
+    e->node_bif.clear();
+    const int32_t* chrs[2] = {chr0, chr1};
+    const i64* coords[2] = {coord0, coord1};
+    const i64* bifs[2] = {bif0, bif1};
+    i64 counts[2] = {n0, n1};
+    for (int s = 0; s < 2; s++) {
+        for (i64 i = 0; i < counts[s]; i++) {
+            i64 idx = (i64)e->node_strand.size();
+            e->node_strand.push_back((int8_t)s);
+            e->node_chr.push_back(chrs[s][i]);
+            e->node_pos.push_back(coords[s][i]);
+            e->node_bif.push_back(bifs[s][i]);
+            e->bif_at[s][chrs[s][i]][coords[s][i]] = idx;
+            e->lists[s][bifs[s][i]].push_front(idx);
+        }
+    }
+}
+
+i64 engine_simplify(void* handle, i64 k, i64 min_branch, i64 max_iterations) {
+    Engine* e = (Engine*)handle;
+    i64 total = 0;
+    i64 iterations = 0;
+    for (;;) {
+        iterations++;
+        for (i64 id = 0; id <= e->max_id; id++) {
+            total += remove_bulges(*e, k, min_branch, id);
+        }
+        if (!(total > 0 && iterations < max_iterations)) break;
+    }
+    return total;
+}
+
+i64 engine_chr_len(void* handle, int c) {
+    return (i64)((Engine*)handle)->chars[c].size();
+}
+
+void engine_get_chr(void* handle, int c, uint8_t* chars_out, i64* origpos_out) {
+    Engine* e = (Engine*)handle;
+    std::memcpy(chars_out, e->chars[c].data(), e->chars[c].size());
+    std::memcpy(origpos_out, e->origpos[c].data(),
+                e->origpos[c].size() * sizeof(i64));
+}
+
+void engine_destroy(void* handle) {
+    delete (Engine*)handle;
+}
+
+}  // extern "C"
