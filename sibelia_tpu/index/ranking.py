@@ -129,25 +129,38 @@ def _rank_round(r_ext: jax.Array, n: int, off):
     return r_ext_new, sidx, max_rank
 
 
+_PAD_BUCKET = 1 << 20  # pad n so jit shapes (and compiles) are reused
+
+
 def _kmer_ranks_jax(codes: np.ndarray, k: int):
+    true_n = int(codes.shape[0])
+    pad_to = -(-true_n // _PAD_BUCKET) * _PAD_BUCKET
+    if pad_to != true_n:
+        codes = np.concatenate(
+            [codes, np.zeros(pad_to - true_n, dtype=codes.dtype)])  # '#' pad
     n = int(codes.shape[0])
     key1, key2, _ = _packed_keys(jnp.asarray(codes), k)
     rank, order, max_rank = _rank_sort_u32((key1, key2), n)
     if k <= 32:
-        return np.asarray(rank), np.asarray(order)
-    length = 32
-    pad = k + 1
-    sentinel = jnp.asarray(-(np.arange(pad, dtype=np.int32) + 2))
-    r_ext = jnp.concatenate([rank, sentinel])
-    while length < k:
-        off = min(length, k - length)
-        r_ext, order, max_rank = _rank_round(r_ext, n, jnp.int32(off))
-        length += off
-        if length >= k:
-            break
-        if int(max_rank) == n - 1:
-            break
-    return np.asarray(r_ext[:n]), np.asarray(order)
+        rank_h, order_h = np.asarray(rank), np.asarray(order)
+    else:
+        length = 32
+        pad = k + 1
+        sentinel = jnp.asarray(-(np.arange(pad, dtype=np.int32) + 2))
+        r_ext = jnp.concatenate([rank, sentinel])
+        while length < k:
+            off = min(length, k - length)
+            r_ext, order, max_rank = _rank_round(r_ext, n, jnp.int32(off))
+            length += off
+            if length >= k:
+                break
+            if int(max_rank) == n - 1:
+                break
+        rank_h, order_h = np.asarray(r_ext[:n]), np.asarray(order)
+    if pad_to != true_n:
+        rank_h = rank_h[:true_n]
+        order_h = order_h[order_h < true_n]
+    return rank_h, order_h
 
 
 # ---------------------------------------------------------------------------

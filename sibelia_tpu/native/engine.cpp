@@ -228,12 +228,18 @@ struct Engine {
         i64 delta = new_len - (stop - start);
         for (int strand = 0; strand < 2; strand++) {
             std::vector<i64>& arr = bif_at[strand][c];
-            std::vector<i64> na;
-            na.reserve(arr.size() + delta);
-            na.insert(na.end(), arr.begin(), arr.begin() + start);
-            na.insert(na.end(), (size_t)new_len, (i64)-1);
-            na.insert(na.end(), arr.begin() + stop, arr.end());
-            arr.swap(na);
+            if (delta == 0) {
+                // collapse protocol already erased every mark in the span
+                std::fill(arr.begin() + start, arr.begin() + stop, (i64)-1);
+            } else if (delta < 0) {
+                arr.erase(arr.begin() + start + new_len, arr.begin() + stop);
+                std::fill(arr.begin() + start, arr.begin() + start + new_len,
+                          (i64)-1);
+            } else {
+                arr.insert(arr.begin() + stop, (size_t)delta, (i64)-1);
+                std::fill(arr.begin() + start, arr.begin() + start + new_len,
+                          (i64)-1);
+            }
         }
         if (delta != 0) {
             size_t n = node_pos.size();
@@ -371,19 +377,19 @@ void collapse_bulge(Engine& e, i64 k, i64 src_idx, i64 src_dist,
                        ? e.sep_origpos[c_t] : e.origpos[c_t][span_start + td];
     {
         std::vector<uint8_t>& ch = e.chars[c_t];
-        std::vector<uint8_t> nc;
-        nc.reserve(ch.size() + sd - td);
-        nc.insert(nc.end(), ch.begin(), ch.begin() + span_start);
-        nc.insert(nc.end(), content.begin(), content.end());
-        nc.insert(nc.end(), ch.begin() + span_stop, ch.end());
-        ch.swap(nc);
         std::vector<i64>& op = e.origpos[c_t];
-        std::vector<i64> no;
-        no.reserve(op.size() + sd - td);
-        no.insert(no.end(), op.begin(), op.begin() + span_start);
-        no.insert(no.end(), (size_t)sd, (i64)0);
-        no.insert(no.end(), op.begin() + span_stop, op.end());
-        op.swap(no);
+        i64 delta = sd - td;
+        if (delta == 0) {
+            std::memcpy(ch.data() + span_start, content.data(), (size_t)sd);
+        } else if (delta < 0) {
+            ch.erase(ch.begin() + span_start + sd, ch.begin() + span_stop);
+            std::memcpy(ch.data() + span_start, content.data(), (size_t)sd);
+            op.erase(op.begin() + span_start + sd, op.begin() + span_stop);
+        } else {
+            ch.insert(ch.begin() + span_stop, (size_t)delta, (uint8_t)0);
+            std::memcpy(ch.data() + span_start, content.data(), (size_t)sd);
+            op.insert(op.begin() + span_stop, (size_t)delta, (i64)0);
+        }
     }
     e.apply_splice(c_t, span_start, span_stop, sd);
     {
