@@ -168,6 +168,14 @@ def _kmer_ranks_jax(codes: np.ndarray, k: int):
 # ---------------------------------------------------------------------------
 
 def kmer_ranks_numpy(codes: np.ndarray, k: int):
+    """Host twin of the device kernel with active-set refinement for
+    k > 32: singleton groups can never gain members, so each doubling
+    round re-sorts only positions whose 32-mer (then 64-mer, ...) is
+    still ambiguous — i.e. true repeats, a small fraction of a genome.
+    Ranks are group *bucket starts* (global sorted index of the group's
+    first member), so refined subgroup ranks slot between frozen
+    neighbors without renumbering the world.
+    """
     n = int(codes.shape[0])
     b, m = _pack_plan(k)
     pad = 40
@@ -187,30 +195,56 @@ def kmer_ranks_numpy(codes: np.ndarray, k: int):
     big = np.where(valid, big, np.uint64(0xFFFFFFFFFFFFFFFF))
     order = np.argsort(big, kind="stable").astype(np.int64)
     sb = big[order]
-    flag = np.concatenate([[0], (sb[1:] != sb[:-1]).astype(np.int64)])
-    nr = np.cumsum(flag)
+    new_grp = np.concatenate([[True], sb[1:] != sb[:-1]])
+    # rank = index of the group's first member in sorted order (bucket
+    # start), so refined subgroup ranks slot between frozen neighbors
+    bucket_start = np.maximum.accumulate(
+        np.where(new_grp, np.arange(n, dtype=np.int64), -1))
     rank = np.empty(n, dtype=np.int64)
-    rank[order] = nr
+    rank[order] = bucket_start
     if k <= 32:
         return rank, order
+
     r = np.concatenate([rank, -(np.arange(k + 1, dtype=np.int64) + 2)])
     length = 32
+    # active = sorted positions whose group may still split
+    active_sorted = order.copy()
+    grp_flag = new_grp.copy()
     while length < k:
-        off = min(length, k - length)
-        k1 = r[:n]
-        k2 = r[off:off + n]
-        order = np.lexsort((k2, k1)).astype(np.int64)
-        sk1, sk2 = k1[order], k2[order]
-        flag = np.concatenate(
-            [[0], ((sk1[1:] != sk1[:-1]) | (sk2[1:] != sk2[:-1])).astype(np.int64)])
-        nr = np.cumsum(flag)
-        r_new = np.empty(n, dtype=np.int64)
-        r_new[order] = nr
-        r[:n] = r_new
-        length += off
-        if nr[-1] == n - 1:
+        step = min(length, k - length)
+        # drop singleton groups (they can never split further)
+        if active_sorted.size:
+            starts = np.flatnonzero(grp_flag)
+            sizes = np.diff(np.append(starts, active_sorted.size))
+            keep_group = sizes >= 2
+            keep_mask = np.repeat(keep_group, sizes)
+            active_sorted = active_sorted[keep_mask]
+            grp_flag = grp_flag[keep_mask]
+        if active_sorted.size == 0:
             break
-    return r[:n].copy(), order
+        k1 = r[active_sorted]
+        k2 = r[active_sorted + step]
+        sub = np.lexsort((np.arange(active_sorted.size), k2, k1))
+        active_sorted = active_sorted[sub]
+        sk1 = k1[sub]
+        sk2 = k2[sub]
+        grp_flag = np.concatenate(
+            [[True], (sk1[1:] != sk1[:-1]) | (sk2[1:] != sk2[:-1])])
+        # new bucket-start ranks: position of the group's first member in
+        # the GLOBAL order = parent bucket start + offset within parent
+        parent_start = sk1  # rank == parent bucket start (global index)
+        within = np.arange(active_sorted.size, dtype=np.int64)
+        parent_first = np.maximum.accumulate(
+            np.where(np.concatenate([[True], sk1[1:] != sk1[:-1]]),
+                     within, -1))
+        sub_start = np.maximum.accumulate(np.where(grp_flag, within, -1))
+        new_rank = parent_start + (sub_start - parent_first)
+        r[active_sorted] = new_rank
+        length += step
+
+    final_rank = r[:n].copy()
+    order = np.lexsort((np.arange(n), final_rank)).astype(np.int64)
+    return final_rank, order
 
 
 _NUMPY_THRESHOLD = 1 << 16
@@ -223,5 +257,13 @@ def kmer_ranks(codes: np.ndarray, k: int):
     k-mer's rank; the enumeration filters them."""
     n = int(codes.shape[0])
     if n < _NUMPY_THRESHOLD:
+        return kmer_ranks_numpy(codes, k)
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        backend = "cpu"
+    if backend == "cpu":
+        # numpy argsort beats single-threaded XLA CPU sort; the device
+        # path pays off only on an accelerator
         return kmer_ranks_numpy(codes, k)
     return _kmer_ranks_jax(codes, k)
