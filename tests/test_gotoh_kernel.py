@@ -39,3 +39,12 @@ def test_batch_align_matches_host_gotoh():
 def test_batch_align_empty_sides():
     got = batch_align([(b"ACGT", b"ACGT"), (b"A", b"TTTT")], T=16)
     assert got[0] == ("ACGT", "ACGT")
+
+
+def test_pallas_kernel_matches_host():
+    from sibelia_tpu.kernels.gotoh_pallas import batch_align_pallas
+    rng = np.random.default_rng(5)
+    pairs = [_rand_pair(rng) for _ in range(12)]
+    got = batch_align_pallas(pairs, T=128)
+    for (a, b), (ra, rb) in zip(pairs, got):
+        assert (ra, rb) == _gotoh(a, b)
