@@ -224,7 +224,11 @@ def kmer_ranks_numpy(codes: np.ndarray, k: int):
             break
         k1 = r[active_sorted]
         k2 = r[active_sorted + step]
-        sub = np.lexsort((np.arange(active_sorted.size), k2, k1))
+        # pack (k1, k2) into one uint64 key: single radix sort instead of
+        # lexsort's two passes (k2 may be a negative sentinel; bias it)
+        key = ((k1.astype(np.uint64) << np.uint64(32))
+               | ((k2 + (1 << 16)).astype(np.uint64) & np.uint64(0xFFFFFFFF)))
+        sub = np.argsort(key, kind="stable")
         active_sorted = active_sorted[sub]
         sk1 = k1[sub]
         sk2 = k2[sub]
@@ -243,7 +247,9 @@ def kmer_ranks_numpy(codes: np.ndarray, k: int):
         length += step
 
     final_rank = r[:n].copy()
-    order = np.lexsort((np.arange(n), final_rank)).astype(np.int64)
+    key = ((final_rank.astype(np.uint64) << np.uint64(32))
+           | np.arange(n, dtype=np.uint64))
+    order = np.argsort(key, kind="stable").astype(np.int64)
     return final_rank, order
 
 
