@@ -180,6 +180,10 @@ struct Engine {
     std::vector<int32_t> node_chr;
     std::vector<i64> node_pos;
     std::vector<i64> node_bif;
+    // per-chromosome node index so length-changing splices shift only the
+    // affected chromosome's nodes (the reference's linked list pays nothing
+    // here; our flat arrays pay O(nodes of chr) only on delta != 0)
+    std::vector<std::vector<i64> > nodes_of_chr;
     i64 max_id;
     std::vector<std::deque<i64> > lists[2];  // per bifId, front-insert
     std::vector<std::pair<std::pair<int, i64>, i64> > to_clear;  // ((strand,bif),idx)
@@ -202,6 +206,7 @@ struct Engine {
         node_chr.push_back(c);
         node_pos.push_back(pos);
         node_bif.push_back(bif);
+        nodes_of_chr[c].push_back(idx);
         bif_at[strand][c][pos] = idx;
         lists[strand][bif].push_front(idx);
     }
@@ -242,9 +247,10 @@ struct Engine {
             }
         }
         if (delta != 0) {
-            size_t n = node_pos.size();
-            for (size_t i = 0; i < n; i++) {
-                if (node_chr[i] == c && node_pos[i] >= stop) node_pos[i] += delta;
+            const std::vector<i64>& idxs = nodes_of_chr[c];
+            for (size_t i = 0; i < idxs.size(); i++) {
+                i64 idx = idxs[i];
+                if (node_pos[idx] >= stop) node_pos[idx] += delta;
             }
         }
     }
@@ -542,6 +548,7 @@ void* engine_create(int n_chr, const i64* chr_lens,
     e->n_chr = n_chr;
     e->chars.resize(n_chr);
     e->origpos.resize(n_chr);
+    e->nodes_of_chr.resize(n_chr);
     e->sep_origpos.assign(sep_origpos, sep_origpos + n_chr);
     for (int c = 0; c < n_chr; c++) {
         e->chars[c].assign(chars[c], chars[c] + chr_lens[c]);
@@ -567,6 +574,7 @@ void engine_set_bifs(void* handle, i64 max_id,
     e->node_chr.clear();
     e->node_pos.clear();
     e->node_bif.clear();
+    for (size_t c = 0; c < e->nodes_of_chr.size(); c++) e->nodes_of_chr[c].clear();
     const int32_t* chrs[2] = {chr0, chr1};
     const i64* coords[2] = {coord0, coord1};
     const i64* bifs[2] = {bif0, bif1};
@@ -578,6 +586,7 @@ void engine_set_bifs(void* handle, i64 max_id,
             e->node_chr.push_back(chrs[s][i]);
             e->node_pos.push_back(coords[s][i]);
             e->node_bif.push_back(bifs[s][i]);
+            e->nodes_of_chr[chrs[s][i]].push_back(idx);
             e->bif_at[s][chrs[s][i]][coords[s][i]] = idx;
             e->lists[s][bifs[s][i]].push_front(idx);
         }
