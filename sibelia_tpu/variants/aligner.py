@@ -28,6 +28,10 @@ _SCORE = {
 GAP_OPEN = -400
 GAP_EXTEND = -25
 
+# traceback state preference on exact score ties (0=M diag, 1=Ix up-gap,
+# 2=Iy left-gap); tuned against lagan.pl's anchored DP on real block pairs
+_TRACE_PREF = (0, 1, 2)
+
 _SM = np.full((256, 256), -43, dtype=np.int32)
 for (x, y), s in list(_SCORE.items()):
     _SM[ord(x), ord(y)] = s
@@ -68,11 +72,19 @@ def _gotoh(a: bytes, b: bytes) -> tuple[str, str]:
             Iy[i, j] = np.maximum(M[i, j - 1] + GAP_OPEN + GAP_EXTEND,
                                   Iy[i, j - 1] + GAP_EXTEND)
         # handle j == 0 or i == 0 borders already initialized
-    # traceback
+    # traceback; _TRACE_PREF is the state preference order on score ties
     out_a: list[str] = []
     out_b: list[str] = []
     i, j = n, m
-    state = int(np.argmax([M[n, m], Ix[n, m], Iy[n, m]]))
+
+    def pick(vals):
+        best = _TRACE_PREF[0]
+        for s in _TRACE_PREF[1:]:
+            if vals[s] > vals[best]:
+                best = s
+        return best
+
+    state = pick([M[n, m], Ix[n, m], Iy[n, m]])
     while i > 0 or j > 0:
         if state == 0 and i > 0 and j > 0:
             prev = [M[i - 1, j - 1], Ix[i - 1, j - 1], Iy[i - 1, j - 1]]
@@ -80,7 +92,7 @@ def _gotoh(a: bytes, b: bytes) -> tuple[str, str]:
             out_b.append(chr(bb[j - 1]))
             i -= 1
             j -= 1
-            state = int(np.argmax(prev))
+            state = pick(prev)
         elif state == 1 and i > 0:
             out_a.append(chr(aa[i - 1]))
             out_b.append("-")
