@@ -87,13 +87,13 @@ def enumerate_bifurcations(chromosomes: list[bytes], k: int) -> BifEnumeration:
 
     rank, order = kmer_ranks(codes, k)
 
-    # Position metadata (vectorized, host-side numpy).
-    all_pos = np.arange(n, dtype=np.int64)
-    block = np.searchsorted(block_starts, all_pos, side="right") - 1
-    block = np.clip(block, 0, 2 * n_chr - 1)
-    chrom = np.where(block < n_chr, block, block - n_chr)
-    local = all_pos - block_starts[block]
-    valid = (codes != SEP_CODE) & (local + k <= chr_len[chrom])
+    # Candidate validity == the k-window crosses no separator; derived
+    # from the next-separator index in one reverse cummin pass (cheaper
+    # than per-position block lookups over the whole supergenome).
+    idx = np.arange(n, dtype=np.int64)
+    sep_idx = np.where(codes == SEP_CODE, idx, n)
+    next_sep = np.minimum.accumulate(sep_idx[::-1])[::-1]
+    valid = (codes != SEP_CODE) & (idx + k <= next_sep)
 
     # Keep only candidate positions; groups are all-candidate or all-dropped
     # (a '#'-free k-mer fits inside its chromosome; see module docstring).
@@ -133,9 +133,11 @@ def enumerate_bifurcations(chromosomes: list[bytes], k: int) -> BifEnumeration:
     pos_counted = counted[group_of_keep]
     sel = keep[pos_counted]
     sel_ids = ids_per_group[group_of_keep[pos_counted]].astype(np.uint32)
-    sel_block = block[sel]
-    sel_chr = chrom[sel]
-    sel_local = local[sel]
+    # block/chrom/local only for the selected positions
+    sel_block = np.searchsorted(block_starts, sel, side="right") - 1
+    sel_block = np.clip(sel_block, 0, 2 * n_chr - 1)
+    sel_chr = np.where(sel_block < n_chr, sel_block, sel_block - n_chr)
+    sel_local = sel - block_starts[sel_block]
     sel_neg = sel_block >= n_chr
 
     out_chr, out_pos, out_id = [], [], []

@@ -41,6 +41,17 @@ CODE_OF = {"#": 0, "A": 1, "C": 2, "G": 3, "T": 4}
 _SENT32 = np.uint32(0xFFFFFFFF)
 
 
+def _stable_argsort_u64(keys: np.ndarray) -> np.ndarray:
+    """Stable argsort for uint64 keys: native radix sort when available
+    (numpy's 'stable' for 64-bit ints is a comparison sort)."""
+    if keys.size >= (1 << 18):
+        from ..native import radix_argsort
+        order = radix_argsort(keys)
+        if order is not None:
+            return order
+    return np.argsort(keys, kind="stable").astype(np.int64)
+
+
 def encode(s: bytes | str) -> np.ndarray:
     """Encode '#ACGT' text to uint8 codes 0..4."""
     if isinstance(s, str):
@@ -193,7 +204,7 @@ def kmer_ranks_numpy(codes: np.ndarray, k: int):
     valid = (np.arange(n, dtype=np.int64) + m) <= next_sep[:n]
     big = (p[:n] << np.uint64(32)) | p[off:off + n]
     big = np.where(valid, big, np.uint64(0xFFFFFFFFFFFFFFFF))
-    order = np.argsort(big, kind="stable").astype(np.int64)
+    order = _stable_argsort_u64(big)
     sb = big[order]
     new_grp = np.concatenate([[True], sb[1:] != sb[:-1]])
     # rank = index of the group's first member in sorted order (bucket
@@ -228,7 +239,7 @@ def kmer_ranks_numpy(codes: np.ndarray, k: int):
         # lexsort's two passes (k2 may be a negative sentinel; bias it)
         key = ((k1.astype(np.uint64) << np.uint64(32))
                | ((k2 + (1 << 16)).astype(np.uint64) & np.uint64(0xFFFFFFFF)))
-        sub = np.argsort(key, kind="stable")
+        sub = _stable_argsort_u64(key)
         active_sorted = active_sorted[sub]
         sk1 = k1[sub]
         sk2 = k2[sub]
@@ -249,7 +260,7 @@ def kmer_ranks_numpy(codes: np.ndarray, k: int):
     final_rank = r[:n].copy()
     key = ((final_rank.astype(np.uint64) << np.uint64(32))
            | np.arange(n, dtype=np.uint64))
-    order = np.argsort(key, kind="stable").astype(np.int64)
+    order = _stable_argsort_u64(key)
     return final_rank, order
 
 

@@ -58,8 +58,23 @@ def load() -> ctypes.CDLL | None:
                                    ctypes.c_void_p, ctypes.c_void_p]
     lib.engine_destroy.restype = None
     lib.engine_destroy.argtypes = [ctypes.c_void_p]
+    lib.radix_argsort_u64.restype = None
+    lib.radix_argsort_u64.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                      ctypes.c_void_p]
     _lib = lib
     return _lib
+
+
+def radix_argsort(keys: np.ndarray) -> np.ndarray | None:
+    """Stable argsort of a uint64 key array via the native radix sort;
+    None if the native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    out = np.empty(len(keys), dtype=np.int64)
+    lib.radix_argsort_u64(keys.ctypes.data, len(keys), out.ctypes.data)
+    return out
 
 
 def simplify_native(seq, enum, k: int, min_branch: int,

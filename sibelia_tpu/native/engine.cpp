@@ -622,4 +622,43 @@ void engine_destroy(void* handle) {
     delete (Engine*)handle;
 }
 
+// ---------------------------------------------------------------------------
+// standalone LSB radix argsort for the host ranking kernel (numpy's stable
+// sort for 64-bit keys is a comparison sort; 16-bit-digit counting passes
+// are ~10x faster at genome scale)
+// ---------------------------------------------------------------------------
+
+void radix_argsort_u64(const u64* keys, i64 n, i64* order_out) {
+    std::vector<i64> idx_a((size_t)n), idx_b((size_t)n);
+    for (i64 i = 0; i < n; i++) idx_a[i] = i;
+    std::vector<i64> count(1 << 16);
+    i64* src = idx_a.data();
+    i64* dst = idx_b.data();
+    for (int pass = 0; pass < 4; pass++) {
+        int shift = pass * 16;
+        // skip passes whose digit is constant
+        u64 first_digit = n ? ((keys[src[0]] >> shift) & 0xFFFF) : 0;
+        bool constant = true;
+        std::fill(count.begin(), count.end(), 0);
+        for (i64 i = 0; i < n; i++) {
+            u64 d = (keys[src[i]] >> shift) & 0xFFFF;
+            count[d]++;
+            constant = constant && (d == first_digit);
+        }
+        if (constant) continue;
+        i64 acc = 0;
+        for (size_t d = 0; d < count.size(); d++) {
+            i64 c = count[d];
+            count[d] = acc;
+            acc += c;
+        }
+        for (i64 i = 0; i < n; i++) {
+            u64 d = (keys[src[i]] >> shift) & 0xFFFF;
+            dst[count[d]++] = src[i];
+        }
+        std::swap(src, dst);
+    }
+    std::memcpy(order_out, src, (size_t)n * sizeof(i64));
+}
+
 }  // extern "C"
