@@ -178,6 +178,38 @@ def _align_gap(a: bytes, b: bytes, depth: int = 0) -> tuple[str, str]:
     return ra1 + ra2, rb1 + rb2
 
 
+DEVICE_BATCH_T = 128
+
+
+class _DeviceGapBatcher:
+    """Collects small gap subproblems during anchored alignment and closes
+    them with the batched device kernel (Pallas on TPU, interpret on CPU),
+    which produces alignments identical to the host Gotoh."""
+
+    def __init__(self):
+        self.pairs: list[tuple[bytes, bytes]] = []
+        self.slots: list = []
+
+    def defer(self, a: bytes, b: bytes):
+        slot = ["", ""]
+        self.pairs.append((a, b))
+        self.slots.append(slot)
+        return slot
+
+    def flush(self):
+        if not self.pairs:
+            return
+        from ..kernels.gotoh_pallas import batch_align_pallas
+        results = batch_align_pallas(self.pairs, T=DEVICE_BATCH_T)
+        for slot, (ra, rb) in zip(self.slots, results):
+            slot[0], slot[1] = ra, rb
+        self.pairs = []
+        self.slots = []
+
+
+_BATCHER: _DeviceGapBatcher | None = None
+
+
 def align_pair(a: bytes, b: bytes, k: int = 16, _depth: int = 0) -> tuple[str, str]:
     """Anchored global alignment of two sequences; returns aligned rows."""
     if isinstance(a, str):
@@ -201,20 +233,56 @@ def align_pair(a: bytes, b: bytes, k: int = 16, _depth: int = 0) -> tuple[str, s
             if pa < la + ln or pb < lb + ln:
                 continue  # overlapping inconsistently; skip anchor
         merged.append((pa, pb, k))
-    rows_a: list[str] = []
-    rows_b: list[str] = []
+    rows_a: list = []
+    rows_b: list = []
     ca = cb = 0
     for pa, pb, ln in merged:
-        ga, gb = _align_gap(a[ca:pa], b[cb:pb], _depth)
+        ga, gb = _align_gap_maybe_defer(a[ca:pa], b[cb:pb], _depth)
         rows_a.append(ga)
         rows_b.append(gb)
         rows_a.append(a[pa:pa + ln].decode())
         rows_b.append(b[pb:pb + ln].decode())
         ca, cb = pa + ln, pb + ln
-    ga, gb = _align_gap(a[ca:], b[cb:], _depth)
+    ga, gb = _align_gap_maybe_defer(a[ca:], b[cb:], _depth)
     rows_a.append(ga)
     rows_b.append(gb)
+    if _BATCHER is not None:
+        _BATCHER.flush()
+        rows_a = [x.resolve(0) if isinstance(x, _GapSlot) else x for x in rows_a]
+        rows_b = [x.resolve(1) if isinstance(x, _GapSlot) else x for x in rows_b]
     return "".join(rows_a), "".join(rows_b)
+
+
+class _GapSlot:
+    def __init__(self, slot):
+        self.slot = slot
+
+    def resolve(self, row: int) -> str:
+        return self.slot[row]
+
+
+def _align_gap_maybe_defer(a: bytes, b: bytes, depth: int):
+    if (_BATCHER is not None and 0 < len(a) <= DEVICE_BATCH_T
+            and 0 < len(b) <= DEVICE_BATCH_T):
+        slot = _BATCHER.defer(a, b)
+        return _GapSlot(slot), _GapSlot(slot)
+    return _align_gap(a, b, depth)
+
+
+class device_gap_batching:
+    """Context manager enabling device-batched gap closure inside
+    align_pair (opt-in; results identical to the host path)."""
+
+    def __enter__(self):
+        global _BATCHER
+        self._prev = _BATCHER
+        _BATCHER = _DeviceGapBatcher()
+        return _BATCHER
+
+    def __exit__(self, *exc):
+        global _BATCHER
+        _BATCHER = self._prev
+        return False
 
 
 def align_multiple(seqs: list[bytes]) -> list[str]:

@@ -226,11 +226,19 @@ def determine_unique_block(instance_list, reference_seq, min_block_size):
 
 
 def process_block(block):
-    """reference: C-Sibelia.py:274-309, with the in-process aligner."""
+    """reference: C-Sibelia.py:274-309, with the in-process aligner.
+    SIBELIA_TPU_DEVICE_ALIGN=1 routes gap subproblems through the batched
+    device kernel (identical output; see variants/aligner.py)."""
+    import os
     unique, synteny_block_id, instance_list = block
     if unique:
         ref_inst, asm_inst = instance_list
-        row0, row1 = align_pair(ref_inst.seq, asm_inst.seq)
+        if os.environ.get("SIBELIA_TPU_DEVICE_ALIGN") == "1":
+            from .aligner import device_gap_batching
+            with device_gap_batching():
+                row0, row1 = align_pair(ref_inst.seq, asm_inst.seq)
+        else:
+            row0, row1 = align_pair(ref_inst.seq, asm_inst.seq)
         rows = [row0, row1]
     else:
         rows = align_multiple([inst.seq for inst in instance_list])
