@@ -67,15 +67,11 @@ def _pack_plan(k: int) -> tuple[int, int]:
     """(b, m): packed word width b (power of two) and covered length
     m = min(k, 32); key pair = (p_b[i], p_b[i + m - b])."""
     m = min(k, 32)
-    half = (m + 1) // 2
     b = 1
     while b * 2 <= m and b < 16:
         b *= 2
-    # b is the largest power of two <= min(m, 16); ensure b covers overlap:
-    # need b >= m - b  <=>  2b >= m
-    while b * 2 < m:
-        b *= 2  # unreachable given b >= m/2 by construction, kept for safety
-    del half
+    # b is the largest power of two <= min(m, 16); the overlapped pair
+    # covers m because b >= m - b (i.e. 2b >= m) by construction
     return b, m
 
 

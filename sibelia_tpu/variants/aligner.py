@@ -18,7 +18,6 @@ from __future__ import annotations
 import numpy as np
 
 # reference: src/lagan/nucmatrix.txt
-_ALPHA = "ACGTN"
 _SCORE = {
     ("A", "A"): 91, ("A", "C"): -114, ("A", "G"): -31, ("A", "T"): -123,
     ("C", "C"): 100, ("C", "G"): -125, ("C", "T"): -31,
