@@ -123,3 +123,98 @@ def simplify_native(seq, enum, k: int, min_branch: int,
         return int(ret)
     finally:
         lib.engine_destroy(handle)
+
+
+# ---------------------------------------------------------------------------
+# LAGAN-semantics engine (chaos / anchors / order stage primitives)
+# ---------------------------------------------------------------------------
+
+_LAGAN_SRCS = [os.path.join(_DIR, f) for f in
+               ("lagan_api.cpp", "lagan_chaos.cpp", "lagan_anchors.cpp",
+                "lagan_order.cpp")]
+_LAGAN_HDRS = [os.path.join(_DIR, f) for f in
+               ("lagan_common.h", "lagan_stages.h")]
+_LAGAN_SO = os.path.join(_DIR, "build", "liblagan_engine.so")
+
+_lagan_lib = None
+_lagan_tried = False
+
+
+def load_lagan() -> ctypes.CDLL | None:
+    """Build (if stale) and load the native LAGAN-stage library."""
+    global _lagan_lib, _lagan_tried
+    if _lagan_lib is not None or _lagan_tried:
+        return _lagan_lib
+    _lagan_tried = True
+    if os.environ.get("SIBELIA_TPU_NATIVE", "1") == "0":
+        return None
+    try:
+        newest_src = max(os.path.getmtime(p)
+                         for p in _LAGAN_SRCS + _LAGAN_HDRS)
+        if (not os.path.exists(_LAGAN_SO)
+                or os.path.getmtime(_LAGAN_SO) < newest_src):
+            os.makedirs(os.path.dirname(_LAGAN_SO), exist_ok=True)
+            subprocess.run(
+                ["g++", "-O2", "-std=c++17", "-shared", "-fPIC",
+                 "-o", _LAGAN_SO] + _LAGAN_SRCS,
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(_LAGAN_SO)
+    except (OSError, ValueError, subprocess.CalledProcessError):
+        return None
+    lib.le_chaos.restype = ctypes.c_void_p
+    lib.le_chaos.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p,
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p,
+        ctypes.c_char_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int]
+    lib.le_anchors.restype = ctypes.c_void_p
+    lib.le_anchors.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.le_order.restype = ctypes.c_void_p
+    lib.le_order.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p,
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p,
+        ctypes.c_char_p]
+    lib.le_free.restype = None
+    lib.le_free.argtypes = [ctypes.c_void_p]
+    _lagan_lib = lib
+    return _lagan_lib
+
+
+def _take_string(lib, ptr) -> str:
+    try:
+        return ctypes.string_at(ptr).decode("latin-1")
+    finally:
+        lib.le_free(ptr)
+
+
+def lagan_chaos(seq1: bytes, name1: str, seq2: bytes, name2: str,
+                pairs_text: str, wl: int, nd: int, co: int, rsc: int,
+                gfc: bool = True, ext: bool = True) -> str | None:
+    lib = load_lagan()
+    if lib is None:
+        return None
+    ptr = lib.le_chaos(seq1, len(seq1), name1.encode("latin-1"),
+                       seq2, len(seq2), name2.encode("latin-1"),
+                       pairs_text.encode("latin-1"),
+                       wl, nd, co, rsc, int(gfc), int(ext))
+    return _take_string(lib, ptr)
+
+
+def lagan_anchors(hits_text: str, gfc: bool = True) -> str | None:
+    lib = load_lagan()
+    if lib is None:
+        return None
+    ptr = lib.le_anchors(hits_text.encode("latin-1"), int(gfc))
+    return _take_string(lib, ptr)
+
+
+def lagan_order(seq1: bytes, name1: str, seq2: bytes, name2: str,
+                anchors_text: str) -> str | None:
+    lib = load_lagan()
+    if lib is None:
+        return None
+    ptr = lib.le_order(seq1, len(seq1), name1.encode("latin-1"),
+                       seq2, len(seq2), name2.encode("latin-1"),
+                       anchors_text.encode("latin-1"))
+    return _take_string(lib, ptr)

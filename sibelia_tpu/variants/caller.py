@@ -226,14 +226,26 @@ def determine_unique_block(instance_list, reference_seq, min_block_size):
 
 
 def process_block(block):
-    """reference: C-Sibelia.py:274-309, with the in-process aligner.
+    """reference: C-Sibelia.py:274-309, with in-process aligners.
+
+    Unique pairs default to the exact LAGAN engine (byte-identical to
+    ``lagan.pl -mfa``; align/lagan_exact.py).  SIBELIA_TPU_ALIGNER=fast
+    selects the anchored-Gotoh engine instead, and with it
     SIBELIA_TPU_DEVICE_ALIGN=1 routes gap subproblems through the batched
-    device kernel (identical output; see variants/aligner.py)."""
+    device kernel (identical to the fast host path)."""
     import os
     unique, synteny_block_id, instance_list = block
     if unique:
         ref_inst, asm_inst = instance_list
-        if os.environ.get("SIBELIA_TPU_DEVICE_ALIGN") == "1":
+        mode = os.environ.get("SIBELIA_TPU_ALIGNER", "exact")
+        from ..align import lagan_exact
+        if mode == "exact" and lagan_exact.available():
+            # reference: C-Sibelia.py:283 builds these description headers
+            name0 = ref_inst.chr_id + str(ref_inst.start) + "_" + str(ref_inst.end)
+            name1 = asm_inst.chr_id + str(asm_inst.start) + "_" + str(asm_inst.end)
+            row0, row1 = lagan_exact.align_pair_exact(
+                ref_inst.seq, asm_inst.seq, name0, name1)
+        elif os.environ.get("SIBELIA_TPU_DEVICE_ALIGN") == "1":
             from .aligner import device_gap_batching
             with device_gap_batching():
                 row0, row1 = align_pair(ref_inst.seq, asm_inst.seq)

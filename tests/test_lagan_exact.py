@@ -1,0 +1,103 @@
+"""Exact-LAGAN engine tests.
+
+Self-contained checks always run; byte-level differential tests against the
+rebuilt reference LAGAN binaries run only when they exist at .lagan_build/
+(build: copy /root/reference/src/lagan, add -fcommon to src/Makefile CFLAGS,
+make) and SIBELIA_TPU_GOLDEN=1 is set.
+"""
+import os
+import random
+import subprocess
+
+import pytest
+
+from sibelia_tpu.align import lagan_exact
+from sibelia_tpu.align.lagan_exact import align_pair_exact, lagan_pl_mfa
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LAGAN_DIR = os.path.join(REPO, ".lagan_build")
+
+needs_native = pytest.mark.skipif(not lagan_exact.available(),
+                                  reason="native engine unavailable")
+needs_oracle = pytest.mark.skipif(
+    os.environ.get("SIBELIA_TPU_GOLDEN") != "1"
+    or not os.path.exists(os.path.join(LAGAN_DIR, "lagan.pl")),
+    reason="oracle binaries not built or SIBELIA_TPU_GOLDEN unset")
+
+
+def _mutate(s, sub, ind, rng):
+    out = []
+    for c in s:
+        r = rng.random()
+        if r < sub:
+            out.append(rng.choice("ACGT"))
+        elif r < sub + ind / 2:
+            pass
+        elif r < sub + ind:
+            out.append(c + rng.choice("ACGT"))
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+@needs_native
+def test_identical_sequences_align_identity():
+    rng = random.Random(5)
+    s = "".join(rng.choice("ACGT") for _ in range(3000)).encode()
+    r0, r1 = align_pair_exact(s, s)
+    assert r0 == r1 == s.decode()
+
+
+@needs_native
+def test_substitutions_no_gaps():
+    rng = random.Random(11)
+    s = "".join(rng.choice("ACGT") for _ in range(2000))
+    t = _mutate(s, 0.02, 0.0, rng)
+    r0, r1 = align_pair_exact(s.encode(), t.encode())
+    assert "-" not in r0 and "-" not in r1
+    assert r0 == s and r1 == t
+
+
+@needs_native
+def test_indels_recovered():
+    rng = random.Random(13)
+    s = "".join(rng.choice("ACGT") for _ in range(4000))
+    t = s[:1000] + s[1010:]  # 10bp deletion
+    r0, r1 = align_pair_exact(s.encode(), t.encode())
+    assert r0.replace("-", "") == s
+    assert r1.replace("-", "") == t
+    assert r1.count("-") - r0.count("-") == 10
+
+
+def _oracle_mfa(s1, n1, s2, n2, tmpdir):
+    f1 = os.path.join(tmpdir, "a.fa")
+    f2 = os.path.join(tmpdir, "b.fa")
+    out = os.path.join(tmpdir, "o.mfa")
+    with open(f1, "w") as h:
+        h.write(f">{n1}\n{s1.decode()}\n")
+    with open(f2, "w") as h:
+        h.write(f">{n2}\n{s2.decode()}\n")
+    env = dict(os.environ, LAGAN_DIR=LAGAN_DIR)
+    subprocess.run(["perl", os.path.join(LAGAN_DIR, "lagan.pl"),
+                    f1, f2, "-mfa", "-out", out],
+                   env=env, cwd=tmpdir, check=True, capture_output=True)
+    with open(out) as h:
+        return h.read()
+
+
+@needs_native
+@needs_oracle
+def test_differential_vs_lagan_pl(tmp_path):
+    for seed in range(8):
+        rng = random.Random(seed * 31 + 7)
+        size = rng.choice([60, 400, 3000, 12000])
+        s = "".join(rng.choice("ACGT") for _ in range(size))
+        t = _mutate(s, rng.choice([0.0, 0.02, 0.1]),
+                    rng.choice([0.0, 0.01]), rng)
+        if rng.random() < 0.4:
+            t = "".join("N" if rng.random() < 0.02 else c for c in t)
+        n1 = "gi|999|ref|NC_9.9|1_%d" % len(s)
+        n2 = "contig_%d" % seed
+        oracle = _oracle_mfa(s.encode(), n1, t.encode(), n2, str(tmp_path))
+        mine = lagan_pl_mfa(s.encode(), n1, t.encode(), n2)
+        assert mine == oracle, f"seed {seed}"
