@@ -85,6 +85,24 @@ def enumerate_bifurcations(chromosomes: list[bytes], k: int) -> BifEnumeration:
     n_chr = len(chromosomes)
     chr_len = np.asarray([len(c) for c in chromosomes], dtype=np.int64)
 
+    # host fast path: the whole ranking + group scan in one native call
+    # (identical outputs; see native/ranking.cpp)
+    import jax as _jax
+    try:
+        _backend = _jax.default_backend()
+    except Exception:
+        _backend = "cpu"
+    if _backend == "cpu" and n >= (1 << 16):
+        from ..native import enumerate_native
+        res = enumerate_native(codes, block_starts, n_chr, k)
+        if res is not None:
+            count, strands = res
+            return BifEnumeration(
+                count,
+                (strands[0][0], strands[1][0]),
+                (strands[0][1], strands[1][1]),
+                (strands[0][2], strands[1][2]))
+
     rank, order = kmer_ranks(codes, k)
 
     # Candidate validity == the k-window crosses no separator; derived

@@ -276,7 +276,12 @@ def kmer_ranks(codes: np.ndarray, k: int):
     except Exception:
         backend = "cpu"
     if backend == "cpu":
-        # numpy argsort beats single-threaded XLA CPU sort; the device
-        # path pays off only on an accelerator
+        # host path: the native C++ kernel (pair-scatter radix + active-set
+        # doubling) is ~4-5x numpy, which in turn beats single-threaded
+        # XLA CPU sort; the jax path pays off only on an accelerator
+        from ..native import kmer_ranks_native
+        res = kmer_ranks_native(codes, k)
+        if res is not None:
+            return res
         return kmer_ranks_numpy(codes, k)
     return _kmer_ranks_jax(codes, k)

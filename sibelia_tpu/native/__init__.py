@@ -218,3 +218,105 @@ def lagan_order(seq1: bytes, name1: str, seq2: bytes, name2: str,
                        seq2, len(seq2), name2.encode("latin-1"),
                        anchors_text.encode("latin-1"))
     return _take_string(lib, ptr)
+
+
+# ---------------------------------------------------------------------------
+# Native k-mer ranking kernel
+# ---------------------------------------------------------------------------
+
+_RANK_SRC = os.path.join(_DIR, "ranking.cpp")
+_RANK_SO = os.path.join(_DIR, "build", "libsibelia_ranking.so")
+
+_rank_lib = None
+_rank_tried = False
+
+
+def load_ranking() -> ctypes.CDLL | None:
+    global _rank_lib, _rank_tried
+    if _rank_lib is not None or _rank_tried:
+        return _rank_lib
+    _rank_tried = True
+    if os.environ.get("SIBELIA_TPU_NATIVE", "1") == "0":
+        return None
+    try:
+        if (not os.path.exists(_RANK_SO)
+                or os.path.getmtime(_RANK_SO) < os.path.getmtime(_RANK_SRC)):
+            os.makedirs(os.path.dirname(_RANK_SO), exist_ok=True)
+            subprocess.run(
+                ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", "-pthread",
+                 "-o", _RANK_SO, _RANK_SRC],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(_RANK_SO)
+    except (OSError, subprocess.CalledProcessError):
+        return None
+    lib.kmer_ranks_native.restype = None
+    lib.kmer_ranks_native.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p]
+    _rank_lib = lib
+    return _rank_lib
+
+
+def kmer_ranks_native(codes: np.ndarray, k: int):
+    """Native (rank, order) twin of index.ranking.kmer_ranks_numpy;
+    None if the native library is unavailable."""
+    lib = load_ranking()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    n = len(codes)
+    rank = np.empty(n, dtype=np.int64)
+    order = np.empty(n, dtype=np.int64)
+    lib.kmer_ranks_native(codes.ctypes.data, n, int(k),
+                          rank.ctypes.data, order.ctypes.data)
+    return rank, order
+
+
+def _rank_lib_enum():
+    lib = load_ranking()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_enum_configured"):
+        lib.enum_run.restype = ctypes.c_void_p
+        lib.enum_run.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64]
+        lib.enum_count.restype = ctypes.c_int64
+        lib.enum_count.argtypes = [ctypes.c_void_p]
+        lib.enum_strand_size.restype = ctypes.c_int64
+        lib.enum_strand_size.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.enum_fetch.restype = None
+        lib.enum_fetch.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                   ctypes.c_void_p, ctypes.c_void_p,
+                                   ctypes.c_void_p]
+        lib.enum_destroy.restype = None
+        lib.enum_destroy.argtypes = [ctypes.c_void_p]
+        lib._enum_configured = True
+    return lib
+
+
+def enumerate_native(codes: np.ndarray, block_starts: np.ndarray,
+                     n_chr: int, k: int):
+    """Native twin of index.enumeration.enumerate_bifurcations' scan over a
+    prebuilt supergenome; returns (count, [(chr, pos, id)] * 2) or None."""
+    lib = _rank_lib_enum()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    block_starts = np.ascontiguousarray(block_starts, dtype=np.int64)
+    h = lib.enum_run(codes.ctypes.data, len(codes), block_starts.ctypes.data,
+                     len(block_starts), int(n_chr), int(k))
+    try:
+        count = lib.enum_count(h)
+        strands = []
+        for s in (0, 1):
+            m = lib.enum_strand_size(h, s)
+            chrs = np.empty(m, dtype=np.int64)
+            poss = np.empty(m, dtype=np.int64)
+            ids = np.empty(m, dtype=np.uint32)
+            lib.enum_fetch(h, s, chrs.ctypes.data, poss.ctypes.data,
+                           ids.ctypes.data)
+            strands.append((chrs, poss, ids))
+        return int(count), strands
+    finally:
+        lib.enum_destroy(h)

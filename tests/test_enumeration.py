@@ -68,3 +68,61 @@ def test_enumeration_repeated_sequence():
     assert got.count == want.count
     for strand in (0, 1):
         np.testing.assert_array_equal(got.bif_id[strand], want.bif_id[strand])
+
+
+def test_native_enumeration_matches_python_path():
+    """The native C++ enumeration (ranking + group scan) must agree with
+    the pure-Python path on supergenomes above the native threshold."""
+    import random
+    import numpy as np
+    import sibelia_tpu.native as nat
+    from sibelia_tpu.index import enumeration as E
+    from sibelia_tpu.index import ranking as R
+
+    if nat.load_ranking() is None:
+        import pytest
+        pytest.skip("native engine unavailable")
+    rng = random.Random(99)
+    base = "".join(rng.choice("ACGT") for _ in range(50000))
+    mut = list(base)
+    for _ in range(400):
+        mut[rng.randrange(len(mut))] = rng.choice("ACGT")
+    chroms = [base.encode(), "".join(mut).encode()]
+    for k in (24, 30, 64, 150):
+        codes, bs = E.build_supergenome(chroms)
+        res = nat.enumerate_native(codes, bs, len(chroms), k)
+        assert res is not None
+        count, strands = res
+        saved = nat.enumerate_native
+        nat.enumerate_native = lambda *a, **kw: None
+        try:
+            orig_ranks = R.kmer_ranks
+            R.kmer_ranks = R.kmer_ranks_numpy
+            try:
+                py = E.enumerate_bifurcations(chroms, k)
+            finally:
+                R.kmer_ranks = orig_ranks
+        finally:
+            nat.enumerate_native = saved
+        assert count == py.count
+        for s in (0, 1):
+            assert np.array_equal(strands[s][0], py.chr[s])
+            assert np.array_equal(strands[s][1], py.pos[s])
+            assert np.array_equal(strands[s][2], py.bif_id[s])
+
+
+def test_native_kmer_ranks_matches_numpy():
+    import numpy as np
+    import sibelia_tpu.native as nat
+    from sibelia_tpu.index.ranking import kmer_ranks_numpy
+
+    if nat.load_ranking() is None:
+        import pytest
+        pytest.skip("native engine unavailable")
+    rng = np.random.default_rng(5)
+    codes = rng.integers(1, 5, size=300000).astype(np.uint8)
+    codes[rng.integers(0, len(codes), size=10)] = 0
+    for k in (8, 25, 32, 33, 100, 2000):
+        r1, o1 = kmer_ranks_numpy(codes, k)
+        r2, o2 = nat.kmer_ranks_native(codes, k)
+        assert np.array_equal(r1, r2) and np.array_equal(o1, o2), k
