@@ -106,6 +106,13 @@ def _packed_keys(codes: jax.Array, k: int):
     return key1, key2, next_sep[:n]
 
 
+def _inverse_permute(sidx, values):
+    """values placed at positions sidx — via a sort keyed by sidx (unique),
+    which TPUs execute far faster than the equivalent scatter."""
+    _, out = jax.lax.sort((sidx, values), num_keys=1, is_stable=False)
+    return out
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def _rank_sort_u32(keys, n: int):
     key1, key2 = keys
@@ -116,7 +123,7 @@ def _rank_sort_u32(keys, n: int):
         jnp.zeros((1,), jnp.int32),
         ((sk1[1:] != sk1[:-1]) | (sk2[1:] != sk2[:-1])).astype(jnp.int32)])
     nr = jnp.cumsum(flag)
-    rank = jnp.zeros((n,), jnp.int32).at[sidx].set(nr)
+    rank = _inverse_permute(sidx, nr)
     return rank, sidx, nr[-1]
 
 
@@ -131,7 +138,7 @@ def _rank_round(r_ext: jax.Array, n: int, off):
         ((sk1[1:] != sk1[:-1]) | (sk2[1:] != sk2[:-1])).astype(jnp.int32)])
     nr = jnp.cumsum(flag)
     max_rank = nr[-1]
-    r_new = jnp.zeros((n,), jnp.int32).at[sidx].set(nr)
+    r_new = _inverse_permute(sidx, nr)
     r_ext_new = jax.lax.dynamic_update_slice(r_ext, r_new, (0,))
     return r_ext_new, sidx, max_rank
 
