@@ -65,9 +65,11 @@ def _gnu_sort_n_k2(lines: list[str], reverse: bool = False) -> list[str]:
     return keyed
 
 
-def rechaos(seq1: bytes, name1: str, seq2: bytes, name2: str) -> str:
+def rechaos(seq1: bytes, name1: str, seq2: bytes, name2: str,
+            gfc: bool = True) -> str:
     """Returns the final anchor text (rechaos.pl stdout: anchors sorted by
-    seq1 end, descending)."""
+    seq1 end, descending).  lagan.pl passes -gfc (gap-free chunk anchors);
+    mlagan calls rechaos without it (whole-hit anchors, mlagan.c:231-240)."""
     seq1len = len(seq1)
     seq2len = len(seq2)
     b1, e1 = [1], [seq1len]
@@ -84,7 +86,7 @@ def rechaos(seq1: bytes, name1: str, seq2: bytes, name2: str) -> str:
             f"-s1 {b1[j]} {e1[j]} -s2 {b2[j]} {e2[j]}\n"
             for j in range(len(b1)))
         hits = lagan_chaos(seq1, name1, seq2, name2, pairs_text,
-                           wl, nd, co, rsc, gfc=True, ext=True)
+                           wl, nd, co, rsc, gfc=gfc, ext=True)
         if stillmore:
             t1 = seq1len + 1
             t2 = seq2len + 1
@@ -93,7 +95,7 @@ def rechaos(seq1: bytes, name1: str, seq2: bytes, name2: str) -> str:
             app_str += (f"seq1 {clipright1} {t1}; seq2 {clipright2} {t2}; "
                         f"score={SENTINEL_RIGHT} (+)\n")
         anchtemp = hits + app_str
-        anch = lagan_anchors(anchtemp, gfc=True)
+        anch = lagan_anchors(anchtemp, gfc=gfc)
         sorted_lines = _gnu_sort_n_k2(
             [l for l in anch.split("\n") if l != ""])
         if not stillmore:

@@ -6,6 +6,8 @@ stage's k, simplifies, and writes the shrunken sequence back.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..core.glibc_rand import GlibcRand
@@ -68,3 +70,41 @@ class BlockFinder:
                 f"len={e.actual_length} orpos={e.original_position} "
                 f"orlen={e.original_length}  ch='{chr(e.first_char)}'\"];\n")
         out.write("}\n")
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint / resume (new aux capability; the reference has none — its
+# inter-stage state is exactly (rawSeq_, originalPos_), blockfinder.cpp:85-95,
+# which is what gets persisted here, plus the N-randomization rand state)
+# ---------------------------------------------------------------------------
+
+def save_checkpoint(finder: "BlockFinder", path: str, stage_idx: int,
+                    history=None) -> None:
+    """Persist the inter-stage pipeline state after stage `stage_idx`."""
+    import pickle
+    arrays = {}
+    for i, (s, op) in enumerate(zip(finder.raw_seq, finder.original_pos)):
+        arrays[f"seq_{i}"] = np.frombuffer(s, dtype=np.uint8)
+        arrays[f"op_{i}"] = op
+    arrays["rand_buf"] = np.asarray(finder.rand._buf, dtype=np.int64)
+    arrays["meta"] = np.asarray([stage_idx, len(finder.raw_seq)],
+                                dtype=np.int64)
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(tmp, **arrays)
+    with open(path + ".hist.tmp", "wb") as h:
+        h.write(pickle.dumps(history))
+    os.replace(tmp, path)
+    os.replace(path + ".hist.tmp", path + ".hist")
+
+
+def load_checkpoint(finder: "BlockFinder", path: str):
+    """Restore pipeline state; returns (stage_idx, history)."""
+    import pickle
+    data = np.load(path)
+    stage_idx, n_chr = (int(x) for x in data["meta"])
+    finder.raw_seq = [data[f"seq_{i}"].tobytes() for i in range(n_chr)]
+    finder.original_pos = [data[f"op_{i}"].copy() for i in range(n_chr)]
+    finder.rand._buf = [int(x) for x in data["rand_buf"]]
+    with open(path + ".hist", "rb") as h:
+        history = pickle.loads(h.read())
+    return stage_idx, history

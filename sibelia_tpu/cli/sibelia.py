@@ -42,6 +42,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("-a", "--sharedonly", action="store_true")
     p.add_argument("-r", "--inram", action="store_true")
     p.add_argument("--noblocks", action="store_true")
+    p.add_argument("--checkpoint", default=None,
+                   help="directory for per-stage checkpoints; resumes from "
+                        "the newest one (sibelia_tpu extension)")
     p.add_argument("-o", "--outdir", default=".")
     p.add_argument("filenames", nargs="+")
     return p
@@ -75,9 +78,32 @@ def run(argv: list[str]) -> int:
         finder = BlockFinder(chr_list)
         os.makedirs(args.outdir, exist_ok=True)
 
+        # --checkpoint DIR: persist (raw_seq, original_pos, rand state)
+        # after each stage and resume from the newest checkpoint (new aux
+        # capability; the reference's inter-stage state is exactly this,
+        # blockfinder.cpp:85-95)
+        start_stage = 0
+        ckpt_dir = getattr(args, "checkpoint", None)
+        if ckpt_dir:
+            from ..blocks.finder import load_checkpoint, save_checkpoint
+            os.makedirs(ckpt_dir, exist_ok=True)
+            done = sorted(f for f in os.listdir(ckpt_dir)
+                          if f.startswith("stage_") and f.endswith(".ckpt"))
+            if done:
+                stage_idx, history = load_checkpoint(
+                    finder, os.path.join(ckpt_dir, done[-1]))
+                start_stage = stage_idx + 1
+                print(f"Resuming after stage {stage_idx + 1}",
+                      file=sys.stderr)
+
+        trace = os.environ.get("SIBELIA_TPU_TRACE") == "1"
+        import time as _time
         trim_k = 1 << 31
         for i, (k, d) in enumerate(stage):
             trim_k = min(trim_k, k)
+            if i < start_stage:
+                continue
+            t_stage = _time.time()
             if args.visualize or args.allstages:
                 if not args.noblocks:
                     history[i] = finder.generate_synteny_blocks(
@@ -90,6 +116,15 @@ def run(argv: list[str]) -> int:
             print(f"Simplification stage {i + 1} of {len(stage)}")
             print("Enumerating vertices of the graph, then performing bulge removal...")
             finder.perform_graph_simplifications(k, d, args.maxiterations)
+            if trace:
+                n_now = sum(len(s) for s in finder.raw_seq)
+                print(f"[trace] stage {i + 1}: k={k} d={d} "
+                      f"{_time.time() - t_stage:.2f}s seq={n_now}",
+                      file=sys.stderr)
+            if ckpt_dir:
+                save_checkpoint(finder,
+                                os.path.join(ckpt_dir, f"stage_{i:03d}.ckpt"),
+                                i, history)
 
         print("Finding synteny blocks and generating the output...")
         trim_k = min(trim_k, args.minblocksize)

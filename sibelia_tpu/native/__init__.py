@@ -131,7 +131,7 @@ def simplify_native(seq, enum, k: int, min_branch: int,
 
 _LAGAN_SRCS = [os.path.join(_DIR, f) for f in
                ("lagan_api.cpp", "lagan_chaos.cpp", "lagan_anchors.cpp",
-                "lagan_order.cpp")]
+                "lagan_order.cpp", "lagan_multial.cpp")]
 _LAGAN_HDRS = [os.path.join(_DIR, f) for f in
                ("lagan_common.h", "lagan_stages.h")]
 _LAGAN_SO = os.path.join(_DIR, "build", "liblagan_engine.so")
@@ -320,3 +320,44 @@ def enumerate_native(codes: np.ndarray, block_starts: np.ndarray,
         return int(count), strands
     finally:
         lib.enum_destroy(h)
+
+
+def _lagan_ml(lib):
+    if not hasattr(lib, "_ml_configured"):
+        lib.ml_create.restype = ctypes.c_void_p
+        lib.ml_create.argtypes = [ctypes.c_int]
+        lib.ml_set_seq.restype = None
+        lib.ml_set_seq.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                   ctypes.c_char_p, ctypes.c_long,
+                                   ctypes.c_char_p]
+        lib.ml_add_anchor.restype = None
+        lib.ml_add_anchor.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                      ctypes.c_int, ctypes.c_int,
+                                      ctypes.c_int, ctypes.c_int,
+                                      ctypes.c_int, ctypes.c_float]
+        lib.ml_run.restype = ctypes.c_void_p
+        lib.ml_run.argtypes = [ctypes.c_void_p]
+        lib.ml_destroy.restype = None
+        lib.ml_destroy.argtypes = [ctypes.c_void_p]
+        lib._ml_configured = True
+    return lib
+
+
+def mlagan_native(seqs, names, pair_anchor_lines) -> str | None:
+    """Run the native mlagan port. pair_anchor_lines[(i, j)] is the anchor
+    text lines for pair (i, j) in file order (descending seq1 end)."""
+    lib = load_lagan()
+    if lib is None:
+        return None
+    _lagan_ml(lib)
+    h = lib.ml_create(len(seqs))
+    try:
+        for i, (s, nm) in enumerate(zip(seqs, names)):
+            lib.ml_set_seq(h, i, s, len(s), nm.encode("latin-1"))
+        for (i, j), lines in pair_anchor_lines.items():
+            for (s1s, s1e, s2s, s2e, score) in lines:
+                lib.ml_add_anchor(h, i, j, s1s, s1e, s2s, s2e, score)
+        ptr = lib.ml_run(h)
+        return _take_string(lib, ptr)
+    finally:
+        lib.ml_destroy(h)

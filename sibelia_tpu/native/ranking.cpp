@@ -18,6 +18,21 @@
 
 namespace {
 
+// Parallel-for over contiguous slices (no-op threading below ~512k items).
+template <typename F>
+void parallel_for(int64_t n, F f) {
+  unsigned hw = std::thread::hardware_concurrency();
+  int T = (n >= (1 << 19) && hw > 1) ? (int)std::min<unsigned>(hw, 8) : 1;
+  if (T == 1) {
+    f((int64_t)0, n);
+    return;
+  }
+  std::vector<std::thread> th;
+  for (int t = 0; t < T; ++t)
+    th.emplace_back([&, t]() { f(n * t / T, n * (t + 1) / T); });
+  for (auto& x : th) x.join();
+}
+
 // Position-stable LSD radix argsort of u64 keys.  Keys and indices travel
 // together through the passes (sequential reads, scattered writes).
 // 16-bit digits (4 passes) beat 8-bit on large inputs despite the bigger
@@ -32,7 +47,9 @@ void radix_argsort_u64(const uint64_t* keys, int64_t* idx, int64_t n) {
   }
   std::vector<uint64_t> kcur((size_t)n), knext((size_t)n);
   std::vector<int64_t> inext((size_t)n);
-  for (int64_t i = 0; i < n; ++i) kcur[(size_t)i] = keys[idx[i]];
+  parallel_for(n, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) kcur[(size_t)i] = keys[idx[i]];
+  });
   std::vector<std::vector<int64_t>> cnt((size_t)T,
                                         std::vector<int64_t>(1 << 16));
   for (int pass = 0; pass < 4; ++pass) {
@@ -112,30 +129,36 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
   }
 
   std::vector<uint64_t> p((size_t)(n + pad));
-  for (int64_t i = 0; i < n + pad; ++i) {
-    uint64_t c = (i < n) ? codes[i] : 0;
-    p[(size_t)i] = (c - 1) & 3;
-  }
+  parallel_for(n + pad, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      uint64_t c = (i < n) ? codes[i] : 0;
+      p[(size_t)i] = (c - 1) & 3;
+    }
+  });
   {
     int64_t width = 1;
     std::vector<uint64_t> shifted((size_t)(n + pad));
     while (width < b) {
-      for (int64_t i = 0; i < n + pad; ++i) {
-        uint64_t s = (i + width < n + pad) ? p[(size_t)(i + width)] : 0;
-        shifted[(size_t)i] = (p[(size_t)i] << (2 * width)) | s;
-      }
+      parallel_for(n + pad, [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i) {
+          uint64_t s = (i + width < n + pad) ? p[(size_t)(i + width)] : 0;
+          shifted[(size_t)i] = (p[(size_t)i] << (2 * width)) | s;
+        }
+      });
       p.swap(shifted);
       width *= 2;
     }
   }
 
   std::vector<uint64_t> big((size_t)n);
-  for (int64_t i = 0; i < n; ++i) {
-    bool valid = (i + m) <= next_sep[(size_t)i];
-    big[(size_t)i] = valid
-        ? ((p[(size_t)i] << 32) | p[(size_t)(off + i)])
-        : 0xFFFFFFFFFFFFFFFFULL;
-  }
+  parallel_for(n, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) {
+      bool valid = (i + m) <= next_sep[(size_t)i];
+      big[(size_t)i] = valid
+          ? ((p[(size_t)i] << 32) | p[(size_t)(off + i)])
+          : 0xFFFFFFFFFFFFFFFFULL;
+    }
+  });
   p.clear();
   p.shrink_to_fit();
 

@@ -253,6 +253,32 @@ def process_block(block):
             row0, row1 = align_pair(ref_inst.seq, asm_inst.seq)
         rows = [row0, row1]
     else:
+        mode = os.environ.get("SIBELIA_TPU_ALIGNER", "exact")
+        from ..align import mlagan_exact
+        if mode == "exact" and mlagan_exact.available():
+            # exact mlagan port; alignment records keep the reference's
+            # output order (the guide-tree merge order, C-Sibelia.py:295)
+            names = [inst.chr_id + str(inst.start) + "_" + str(inst.end)
+                     for inst in instance_list]
+            by_name = dict(zip(names, instance_list))
+            fasta = mlagan_exact.mlagan_fasta(
+                [inst.seq.encode() if isinstance(inst.seq, str) else inst.seq
+                 for inst in instance_list], names)
+            records = []
+            cur_name, cur = None, []
+            for line in fasta.split("\n"):
+                if line.startswith(">"):
+                    if cur_name is not None:
+                        records.append((cur_name, "".join(cur)))
+                    cur_name, cur = line[1:], []
+                elif line:
+                    cur.append(line)
+            if cur_name is not None:
+                records.append((cur_name, "".join(cur)))
+            alignment = [AlignmentRecord(body=body,
+                                         block_instance=by_name[nm])
+                         for nm, body in records]
+            return [], alignment
         rows = align_multiple([inst.seq for inst in instance_list])
     alignment = [AlignmentRecord(body=body, block_instance=inst)
                  for body, inst in zip(rows, instance_list)]
@@ -321,7 +347,11 @@ def call_variants(directory, genomes, reference_seq, assembly_seq,
     block_seq = blocks_coords[-1]
     main_cover = depict_coverage(block_seq, reference_seq, assembly_seq, None)
     insertion: list[Variant] = []
-    for seq_id, cover in all_cover.items():
+    # reference: C-Sibelia.py:380 iterates the py2 dict; the order decides
+    # breakend numbering and equal-(chr,pos) stable-sort ties
+    from ..core.py2_dict import py2_dict_key_order
+    for seq_id in py2_dict_key_order(list(all_cover.keys())):
+        cover = all_cover[seq_id]
         i = 0
         while i < len(cover):
             if cover[i] == UNCOVER:

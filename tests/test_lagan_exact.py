@@ -101,3 +101,26 @@ def test_differential_vs_lagan_pl(tmp_path):
         oracle = _oracle_mfa(s.encode(), n1, t.encode(), n2, str(tmp_path))
         mine = lagan_pl_mfa(s.encode(), n1, t.encode(), n2)
         assert mine == oracle, f"seed {seed}"
+
+
+@needs_native
+@needs_oracle
+def test_mlagan_differential(tmp_path):
+    from sibelia_tpu.align.mlagan_exact import mlagan_fasta
+    for seed in (1, 2):
+        rng = random.Random(seed * 7 + 1)
+        base = "".join(rng.choice("ACGT") for _ in range(1500))
+        seqs, names, files = [], [], []
+        for c in range(3):
+            s = _mutate(base, 0.05, 0.005, rng)
+            nm = f"rep{c}_block_{len(s)}"
+            seqs.append(s.encode())
+            names.append(nm)
+            f = tmp_path / f"m{c}.fa"
+            f.write_text(f">{nm}\n{s}\n")
+            files.append(str(f))
+        env = dict(os.environ, LAGAN_DIR=LAGAN_DIR)
+        r = subprocess.run([os.path.join(LAGAN_DIR, "mlagan")] + files,
+                           env=env, cwd=str(tmp_path), capture_output=True)
+        assert r.returncode == 0
+        assert mlagan_fasta(seqs, names) == r.stdout.decode(), seed

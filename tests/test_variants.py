@@ -95,3 +95,12 @@ def test_strip_chr_id():
 def test_variant_vcf_record():
     v = Variant("gi|1|ref|NC_1.1|", 42, "ctg", None, "A", "AT", "A", "AT", 3)
     assert v.get_vcf_record() == "NC_1\t42\t.\tA\tAT\t.\t.\t."
+
+
+def test_py2_dict_order_anchors():
+    """Known CPython 2.7 amd64 hash/iteration anchors."""
+    from sibelia_tpu.core.py2_dict import py2_dict_key_order, py2_str_hash
+    assert py2_str_hash("a") == 12416037344
+    assert py2_str_hash("") == 0
+    assert py2_dict_key_order(["a", "b", "c"]) == ["a", "c", "b"]
+    assert py2_dict_key_order(["b", "a", "c"]) == ["a", "c", "b"]
