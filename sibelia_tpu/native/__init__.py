@@ -243,7 +243,7 @@ def load_ranking() -> ctypes.CDLL | None:
                 or os.path.getmtime(_RANK_SO) < os.path.getmtime(_RANK_SRC)):
             os.makedirs(os.path.dirname(_RANK_SO), exist_ok=True)
             subprocess.run(
-                ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", "-pthread",
+                ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC", "-pthread",
                  "-o", _RANK_SO, _RANK_SRC],
                 check=True, capture_output=True)
         lib = ctypes.CDLL(_RANK_SO)

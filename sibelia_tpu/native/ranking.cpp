@@ -11,12 +11,40 @@
 // doubling over the active set (groups that can still split), dropping
 // singleton groups each round.
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
 #include <thread>
+#include <mutex>
 #include <algorithm>
+#include <chrono>
 
 namespace {
+
+// Phase timing, enabled by SIBELIA_TPU_PROF=1 (stderr).
+struct Prof {
+  const char* name;
+  std::chrono::steady_clock::time_point t0;
+  static bool enabled() {
+    static int e = [] {
+      const char* v = std::getenv("SIBELIA_TPU_PROF");
+      return (v && v[0] == '1') ? 1 : 0;
+    }();
+    return e != 0;
+  }
+  explicit Prof(const char* n) : name(n) {
+    if (enabled()) t0 = std::chrono::steady_clock::now();
+  }
+  ~Prof() {
+    if (enabled()) {
+      double ms = std::chrono::duration<double, std::milli>(
+                      std::chrono::steady_clock::now() - t0)
+                      .count();
+      std::fprintf(stderr, "[prof] %-22s %8.1f ms\n", name, ms);
+    }
+  }
+};
 
 // Parallel-for over contiguous slices (no-op threading below ~512k items).
 template <typename F>
@@ -33,33 +61,59 @@ void parallel_for(int64_t n, F f) {
   for (auto& x : th) x.join();
 }
 
-// Position-stable LSD radix argsort of u64 keys.  Keys and indices travel
-// together through the passes (sequential reads, scattered writes).
-// 16-bit digits (4 passes) beat 8-bit on large inputs despite the bigger
-// counter array; the counting and scatter phases are parallelized over
-// contiguous slices with per-(thread, digit) cursors, which preserves
-// stability.  Constant-digit passes are skipped.
-void radix_argsort_u64(const uint64_t* keys, int64_t* idx, int64_t n) {
+// Position-stable LSD radix argsort of u64 keys, starting from the
+// identity permutation (all call sites sort fresh iotas).  Keys and
+// 32-bit indices ping-pong between persistent arena buffers (no per-call
+// allocation or page-fault churn; 12 B/element/pass of traffic).  16-bit
+// digits (≤4 passes); constant-digit passes are skipped, so narrow keys
+// (e.g. dense ranks) pay only for the bits they use.  The counting and
+// scatter phases are parallelized over contiguous slices with
+// per-(thread, digit) cursors, which preserves stability.
+struct SortArena {
+  std::vector<uint64_t> k[2];
+  std::vector<int32_t> i[2];
+  std::vector<int64_t> i64[2];
+  std::vector<std::vector<int64_t>> cnt;
+};
+SortArena& sort_arena() {
+  static SortArena a;
+  return a;
+}
+
+template <typename IdxT>
+void radix_argsort_impl(const uint64_t* keys, int64_t* idx, int64_t n,
+                        std::vector<uint64_t>* kbuf, std::vector<IdxT>* ibuf,
+                        std::vector<std::vector<int64_t>>& cntbuf,
+                        uint64_t* sorted_out = nullptr) {
   int T = 1;
   if (n >= (1 << 19)) {
     unsigned hw = std::thread::hardware_concurrency();
     T = (int)std::min<unsigned>(hw ? hw : 1, 8);
   }
-  std::vector<uint64_t> kcur((size_t)n), knext((size_t)n);
-  std::vector<int64_t> inext((size_t)n);
+  for (int s = 0; s < 2; ++s) {
+    if ((int64_t)kbuf[s].size() < n) kbuf[s].resize((size_t)n);
+    if ((int64_t)ibuf[s].size() < n) ibuf[s].resize((size_t)n);
+  }
+  if ((int)cntbuf.size() < T) cntbuf.resize((size_t)T);
+  for (int t = 0; t < T; ++t)
+    if (cntbuf[(size_t)t].size() < (1 << 16))
+      cntbuf[(size_t)t].resize((size_t)(1 << 16));
+  int cur = 0;
   parallel_for(n, [&](int64_t lo, int64_t hi) {
-    for (int64_t i = lo; i < hi; ++i) kcur[(size_t)i] = keys[idx[i]];
+    for (int64_t i = lo; i < hi; ++i) {
+      kbuf[0][(size_t)i] = keys[i];
+      ibuf[0][(size_t)i] = (IdxT)i;
+    }
   });
-  std::vector<std::vector<int64_t>> cnt((size_t)T,
-                                        std::vector<int64_t>(1 << 16));
   for (int pass = 0; pass < 4; ++pass) {
     int shift = pass * 16;
+    const uint64_t* kc = kbuf[cur].data();
+    const IdxT* ic = ibuf[cur].data();
     auto count_slice = [&](int t) {
-      auto& c = cnt[(size_t)t];
-      std::fill(c.begin(), c.end(), 0);
+      auto& c = cntbuf[(size_t)t];
+      std::fill(c.begin(), c.begin() + (1 << 16), 0);
       int64_t lo = n * t / T, hi = n * (t + 1) / T;
-      for (int64_t i = lo; i < hi; ++i)
-        ++c[(kcur[(size_t)i] >> shift) & 0xFFFF];
+      for (int64_t i = lo; i < hi; ++i) ++c[(kc[i] >> shift) & 0xFFFF];
     };
     if (T == 1) {
       count_slice(0);
@@ -74,23 +128,25 @@ void radix_argsort_u64(const uint64_t* keys, int64_t* idx, int64_t n) {
       int64_t total = 0;
       for (int d = 0; d < (1 << 16); ++d) {
         int64_t dsum = 0;
-        for (int t = 0; t < T; ++t) dsum += cnt[(size_t)t][(size_t)d];
+        for (int t = 0; t < T; ++t) dsum += cntbuf[(size_t)t][(size_t)d];
         if (dsum == n) { trivial = true; break; }
         for (int t = 0; t < T; ++t) {
-          int64_t c = cnt[(size_t)t][(size_t)d];
-          cnt[(size_t)t][(size_t)d] = total;
+          int64_t c = cntbuf[(size_t)t][(size_t)d];
+          cntbuf[(size_t)t][(size_t)d] = total;
           total += c;
         }
       }
     }
     if (trivial) continue;
+    uint64_t* kn = kbuf[cur ^ 1].data();
+    IdxT* in = ibuf[cur ^ 1].data();
     auto scatter_slice = [&](int t) {
-      auto& c = cnt[(size_t)t];
+      auto& c = cntbuf[(size_t)t];
       int64_t lo = n * t / T, hi = n * (t + 1) / T;
       for (int64_t i = lo; i < hi; ++i) {
-        int64_t slot = c[(kcur[(size_t)i] >> shift) & 0xFFFF]++;
-        knext[(size_t)slot] = kcur[(size_t)i];
-        inext[(size_t)slot] = idx[i];
+        int64_t slot = c[(kc[i] >> shift) & 0xFFFF]++;
+        kn[slot] = kc[i];
+        in[slot] = ic[i];
       }
     };
     if (T == 1) {
@@ -100,16 +156,61 @@ void radix_argsort_u64(const uint64_t* keys, int64_t* idx, int64_t n) {
       for (int t = 0; t < T; ++t) th.emplace_back(scatter_slice, t);
       for (auto& x : th) x.join();
     }
-    kcur.swap(knext);
-    std::memcpy(idx, inext.data(), (size_t)n * sizeof(int64_t));
+    cur ^= 1;
+  }
+  const IdxT* ic = ibuf[cur].data();
+  const uint64_t* kc = kbuf[cur].data();
+  parallel_for(n, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) idx[i] = (int64_t)ic[i];
+    if (sorted_out)
+      for (int64_t i = lo; i < hi; ++i) sorted_out[i] = kc[i];
+  });
+}
+
+void radix_argsort_u64(const uint64_t* keys, int64_t* idx, int64_t n) {
+  SortArena& ar = sort_arena();
+  if (n <= (int64_t)INT32_MAX) {
+    radix_argsort_impl<int32_t>(keys, idx, n, ar.k, ar.i, ar.cnt);
+  } else {
+    radix_argsort_impl<int64_t>(keys, idx, n, ar.k, ar.i64, ar.cnt);
   }
 }
 
-// Fills rank (bucket-start dense ranks) and order (stable by rank then
-// position for k > 32; the initial stable radix order for k <= 32, which
-// already is that order) — semantics identical to kmer_ranks_numpy.
+// Variant that additionally overwrites `keys` with the sorted keys, so
+// callers can walk group boundaries sequentially instead of gathering
+// keys[order[i]] through a random-access stream.
+void radix_argsort_u64_sk(uint64_t* keys, int64_t* idx, int64_t n) {
+  SortArena& ar = sort_arena();
+  if (n <= (int64_t)INT32_MAX) {
+    radix_argsort_impl<int32_t>(keys, idx, n, ar.k, ar.i, ar.cnt, keys);
+  } else {
+    radix_argsort_impl<int64_t>(keys, idx, n, ar.k, ar.i64, ar.cnt, keys);
+  }
+}
+
+// Persistent buffers for compute_ranks (reused across calls; enumeration
+// runs dozens of times per pipeline and per-call allocation/page-fault
+// churn dominated the steady-state sort cost before this).
+struct RankArena {
+  std::vector<int64_t> next_sep, r, active, sub, nact, rank, order;
+  std::vector<uint64_t> p, shifted, big, key;
+  std::vector<uint8_t> grp, ngrp, gflag;
+  std::vector<int32_t> cursor;
+};
+RankArena& rank_arena() {
+  static RankArena a;
+  return a;
+}
+std::mutex& rank_mutex() {
+  static std::mutex m;
+  return m;
+}
+
+// Fills ar.rank (bucket-start dense ranks), ar.order (stable by
+// (rank, position)) and ar.gflag (group-start flags in sorted order) —
+// rank/order semantics identical to kmer_ranks_numpy.
 void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
-                   std::vector<int64_t>& rank, std::vector<int64_t>& order) {
+                   RankArena& ar) {
   int64_t m = k < 32 ? k : 32;
   int64_t b = 1;
   while (b * 2 <= m && b < 16) b *= 2;
@@ -118,149 +219,173 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
 
   // next separator at or after i (padding positions count as separators,
   // as in the numpy twin's zero padding)
-  std::vector<int64_t> next_sep((size_t)(n + pad));
+  if ((int64_t)ar.next_sep.size() < n + pad) ar.next_sep.resize(n + pad);
   {
     int64_t ns = n + pad;
     for (int64_t i = n + pad - 1; i >= 0; --i) {
       uint8_t c = (i < n) ? codes[i] : 0;
       if (c == 0) ns = std::min(ns, i);
-      next_sep[(size_t)i] = ns;
+      ar.next_sep[(size_t)i] = ns;
     }
   }
 
-  std::vector<uint64_t> p((size_t)(n + pad));
+  Prof _p_pack("pack");
+  if ((int64_t)ar.p.size() < n + pad) ar.p.resize(n + pad);
+  if ((int64_t)ar.shifted.size() < n + pad) ar.shifted.resize(n + pad);
+  uint64_t* pp = ar.p.data();
+  uint64_t* sh = ar.shifted.data();
   parallel_for(n + pad, [&](int64_t lo, int64_t hi) {
     for (int64_t i = lo; i < hi; ++i) {
       uint64_t c = (i < n) ? codes[i] : 0;
-      p[(size_t)i] = (c - 1) & 3;
+      pp[i] = (c - 1) & 3;
     }
   });
   {
     int64_t width = 1;
-    std::vector<uint64_t> shifted((size_t)(n + pad));
     while (width < b) {
       parallel_for(n + pad, [&](int64_t lo, int64_t hi) {
         for (int64_t i = lo; i < hi; ++i) {
-          uint64_t s = (i + width < n + pad) ? p[(size_t)(i + width)] : 0;
-          shifted[(size_t)i] = (p[(size_t)i] << (2 * width)) | s;
+          uint64_t x = (i + width < n + pad) ? pp[i + width] : 0;
+          sh[i] = (pp[i] << (2 * width)) | x;
         }
       });
-      p.swap(shifted);
+      std::swap(pp, sh);
       width *= 2;
     }
   }
 
-  std::vector<uint64_t> big((size_t)n);
+  if ((int64_t)ar.big.size() < n) ar.big.resize(n);
+  uint64_t* big = ar.big.data();
+  const int64_t* nsep = ar.next_sep.data();
   parallel_for(n, [&](int64_t lo, int64_t hi) {
     for (int64_t i = lo; i < hi; ++i) {
-      bool valid = (i + m) <= next_sep[(size_t)i];
-      big[(size_t)i] = valid
-          ? ((p[(size_t)i] << 32) | p[(size_t)(off + i)])
-          : 0xFFFFFFFFFFFFFFFFULL;
+      bool valid = (i + m) <= nsep[i];
+      big[i] = valid ? ((pp[i] << 32) | pp[off + i])
+                     : 0xFFFFFFFFFFFFFFFFULL;
     }
   });
-  p.clear();
-  p.shrink_to_fit();
 
-  order.resize((size_t)n);
-  for (int64_t i = 0; i < n; ++i) order[(size_t)i] = i;
-  radix_argsort_u64(big.data(), order.data(), n);
-
-  rank.resize((size_t)n);
+  if ((int64_t)ar.order.size() < n) ar.order.resize(n);
+  if ((int64_t)ar.rank.size() < n) ar.rank.resize(n);
+  if ((int64_t)ar.gflag.size() < n) ar.gflag.resize(n);
+  int64_t* order = ar.order.data();
+  int64_t* rank = ar.rank.data();
+  uint8_t* gflag = ar.gflag.data();
   {
+    Prof _p("radix_sort_initial");
+    // big is overwritten with the sorted keys: the rank/flag passes then
+    // walk it sequentially instead of gathering big[order[i]]
+    radix_argsort_u64_sk(big, order, n);
+  }
+
+  {
+    Prof _p("rank_assign");
     int64_t start = 0;
     for (int64_t i = 0; i < n; ++i) {
-      if (i > 0 && big[(size_t)order[(size_t)i]] !=
-                       big[(size_t)order[(size_t)(i - 1)]])
-        start = i;
-      rank[(size_t)order[(size_t)i]] = start;
+      bool newgrp = (i > 0) && (big[i] != big[i - 1]);
+      if (newgrp) start = i;
+      gflag[i] = (i == 0) || newgrp;
+      rank[order[i]] = start;
     }
   }
 
   if (k <= 32) return;
 
   // r with negative sentinels past the end (numpy tail -(arange(k+1)+2))
-  std::vector<int64_t> r((size_t)(n + k + 1));
-  std::memcpy(r.data(), rank.data(), (size_t)n * sizeof(int64_t));
-  for (int64_t i = 0; i < k + 1; ++i) r[(size_t)(n + i)] = -(i + 2);
+  if ((int64_t)ar.r.size() < n + k + 1) ar.r.resize(n + k + 1);
+  int64_t* r = ar.r.data();
+  std::memcpy(r, rank, (size_t)n * sizeof(int64_t));
+  for (int64_t i = 0; i < k + 1; ++i) r[n + i] = -(i + 2);
 
-  std::vector<int64_t> active = order;
-  std::vector<uint8_t> grp((size_t)n);
-  for (int64_t i = 0; i < n; ++i)
-    grp[(size_t)i] =
-        (i == 0) || (big[(size_t)active[(size_t)i]] !=
-                     big[(size_t)active[(size_t)(i - 1)]]);
-  big.clear();
-  big.shrink_to_fit();
+  ar.active.assign(order, order + n);
+  if ((int64_t)ar.grp.size() < n) ar.grp.resize(n);
+  std::memcpy(ar.grp.data(), gflag, (size_t)n);
 
-  std::vector<uint64_t> key;
-  std::vector<int64_t> sub, k1v, k2v, nact;
-  std::vector<uint8_t> ngrp;
+  Prof _p_dbl("doubling_rounds");
+  int64_t n_active = n;
   int64_t length = 32;
   while (length < k) {
     int64_t step = std::min(length, k - length);
     {  // drop singleton groups
+      int64_t* act = ar.active.data();
+      uint8_t* grp = ar.grp.data();
       int64_t w = 0, i = 0;
-      int64_t na = (int64_t)active.size();
-      while (i < na) {
+      while (i < n_active) {
         int64_t j = i + 1;
-        while (j < na && !grp[(size_t)j]) ++j;
+        while (j < n_active && !grp[j]) ++j;
         if (j - i >= 2) {
           for (int64_t t = i; t < j; ++t) {
-            active[(size_t)w] = active[(size_t)t];
-            grp[(size_t)w] = (t == i) ? 1 : 0;
+            act[w] = act[t];
+            grp[w] = (t == i) ? 1 : 0;
             ++w;
           }
         }
         i = j;
       }
-      active.resize((size_t)w);
-      grp.resize((size_t)w);
+      n_active = w;
     }
-    int64_t na = (int64_t)active.size();
+    int64_t na = n_active;
     if (na == 0) break;
-    key.resize((size_t)na);
-    sub.resize((size_t)na);
-    k1v.resize((size_t)na);
-    k2v.resize((size_t)na);
+    if ((int64_t)ar.key.size() < na) ar.key.resize(na);
+    if ((int64_t)ar.sub.size() < na) ar.sub.resize(na);
+    if ((int64_t)ar.nact.size() < na) ar.nact.resize(na);
+    if ((int64_t)ar.ngrp.size() < na) ar.ngrp.resize(na);
+    uint64_t* key = ar.key.data();
+    int64_t* sub = ar.sub.data();
+    int64_t* act = ar.active.data();
     for (int64_t i = 0; i < na; ++i) {
-      int64_t pos = active[(size_t)i];
-      int64_t a = r[(size_t)pos];
-      int64_t c = r[(size_t)(pos + step)];
-      k1v[(size_t)i] = a;
-      k2v[(size_t)i] = c;
-      key[(size_t)i] =
+      int64_t pos = act[i];
+      int64_t a = r[pos];
+      int64_t c = r[pos + step];
+      key[i] =
           ((uint64_t)a << 32) | ((uint64_t)(c + (1 << 16)) & 0xFFFFFFFFULL);
-      sub[(size_t)i] = i;
     }
-    radix_argsort_u64(key.data(), sub.data(), na);
-    nact.resize((size_t)na);
-    ngrp.resize((size_t)na);
+    radix_argsort_u64_sk(key, sub, na);
+    int64_t* nact = ar.nact.data();
+    uint8_t* ngrp = ar.ngrp.data();
     int64_t parent_first = 0, sub_start = 0;
     for (int64_t i = 0; i < na; ++i) {
-      int64_t s = sub[(size_t)i];
-      nact[(size_t)i] = active[(size_t)s];
-      bool parent_new =
-          (i == 0) || (k1v[(size_t)s] != k1v[(size_t)sub[(size_t)(i - 1)]]);
-      bool grp_new = parent_new ||
-          (k2v[(size_t)s] != k2v[(size_t)sub[(size_t)(i - 1)]]);
+      nact[i] = act[sub[i]];
+      // sorted keys carry (k1, biased k2); compare sequentially
+      bool parent_new = (i == 0) || ((key[i] >> 32) != (key[i - 1] >> 32));
+      bool grp_new = parent_new || (key[i] != key[i - 1]);
       if (parent_new) parent_first = i;
       if (grp_new) sub_start = i;
-      ngrp[(size_t)i] = grp_new ? 1 : 0;
-      r[(size_t)nact[(size_t)i]] = k1v[(size_t)s] + (sub_start - parent_first);
+      ngrp[i] = grp_new ? 1 : 0;
+      r[nact[i]] = (int64_t)(key[i] >> 32) + (sub_start - parent_first);
     }
-    active.swap(nact);
-    grp.swap(ngrp);
+    ar.active.swap(ar.nact);
+    ar.grp.swap(ar.ngrp);
     length += step;
   }
-  std::memcpy(rank.data(), r.data(), (size_t)n * sizeof(int64_t));
+  std::memcpy(rank, r, (size_t)n * sizeof(int64_t));
 
-  // final order: stable by (rank, position)
-  key.resize((size_t)n);
-  for (int64_t i = 0; i < n; ++i)
-    key[(size_t)i] = ((uint64_t)rank[(size_t)i] << 32) | (uint64_t)i;
-  for (int64_t i = 0; i < n; ++i) order[(size_t)i] = i;
-  radix_argsort_u64(key.data(), order.data(), n);
+  // final order, stable by (rank, position): ranks are global bucket
+  // starts, so one stable counting scatter places every element directly
+  // (no sort); a group starts exactly where a bucket cursor is first used.
+  Prof _p_fin("final_order_sort");
+  if (n > (int64_t)INT32_MAX) {
+    // int32 cursors could overflow on >2^31-element supergenomes; fall
+    // back to a radix argsort on (rank, position) there (rank and
+    // position both fit 32 bits under the reference's 1 GB input cap).
+    if ((int64_t)ar.key.size() < n) ar.key.resize(n);
+    for (int64_t i = 0; i < n; ++i)
+      ar.key[(size_t)i] = ((uint64_t)(uint32_t)rank[i] << 32) | (uint32_t)i;
+    radix_argsort_u64_sk(ar.key.data(), order, n);
+    for (int64_t i = 0; i < n; ++i)
+      gflag[i] = (i == 0) || ((ar.key[(size_t)i] >> 32) !=
+                              (ar.key[(size_t)(i - 1)] >> 32));
+    return;
+  }
+  if ((int64_t)ar.cursor.size() < n) ar.cursor.resize(n);
+  std::memset(ar.cursor.data(), 0, (size_t)n * sizeof(int32_t));
+  int32_t* cursor = ar.cursor.data();
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t rk = rank[i];
+    int32_t c = cursor[rk]++;
+    order[rk + c] = i;
+    gflag[rk + c] = (c == 0);
+  }
 }
 
 }  // namespace
@@ -272,10 +397,11 @@ extern "C" {
 void kmer_ranks_native(const uint8_t* codes, int64_t n, int64_t k,
                        int64_t* rank_out, int64_t* order_out) {
   if (n <= 0) return;
-  std::vector<int64_t> rank, order;
-  compute_ranks(codes, n, k, rank, order);
-  std::memcpy(rank_out, rank.data(), (size_t)n * sizeof(int64_t));
-  std::memcpy(order_out, order.data(), (size_t)n * sizeof(int64_t));
+  std::lock_guard<std::mutex> lock(rank_mutex());
+  RankArena& ar = rank_arena();
+  compute_ranks(codes, n, k, ar);
+  std::memcpy(rank_out, ar.rank.data(), (size_t)n * sizeof(int64_t));
+  std::memcpy(order_out, ar.order.data(), (size_t)n * sizeof(int64_t));
 }
 
 // Full bifurcation enumeration over the supergenome
@@ -292,20 +418,23 @@ void* enum_run(const uint8_t* codes, int64_t n, const int64_t* block_starts,
   EnumResult* res = new EnumResult;
   res->count = 0;
   if (n <= 0) return res;
-  std::vector<int64_t> rank, order;
-  compute_ranks(codes, n, k, rank, order);
-
-  // validity: position is not a separator and its k-window crosses none
-  std::vector<int64_t> next_sep((size_t)n);
+  std::lock_guard<std::mutex> lock(rank_mutex());
+  RankArena& ar = rank_arena();
   {
-    int64_t ns = n;
-    for (int64_t i = n - 1; i >= 0; --i) {
-      if (codes[i] == 0) ns = i;
-      next_sep[(size_t)i] = ns;
-    }
+    Prof _p("compute_ranks_total");
+    compute_ranks(codes, n, k, ar);
   }
+  Prof _p_scan0("enum_scan+map");
+  const int64_t* order = ar.order.data();
+  const uint8_t* gflag = ar.gflag.data();
+  // validity: the k-window crosses no separator == next_sep distance,
+  // reusing the arena's next-sep array (indices < n match enum semantics:
+  // padding beyond n counts as separator there too, but positions with
+  // p + k > n are already filtered by it)
+  const int64_t* next_sep = ar.next_sep.data();
 
-  // scan groups (equal rank) over valid positions in rank order
+  // scan rank groups (gflag marks group starts in sorted order) over
+  // valid positions
   struct Sel {
     int64_t sgpos;
     uint32_t id;
@@ -315,13 +444,11 @@ void* enum_run(const uint8_t* codes, int64_t n, const int64_t* block_starts,
   int64_t count = 0;
   std::vector<int64_t> members;
   while (i < n) {
-    int64_t p0 = order[(size_t)i];
-    int64_t r0 = rank[(size_t)p0];
     int64_t j = i;
     members.clear();
     int prev_or = 0, next_or = 0;
     bool terminal = false;
-    for (; j < n && rank[(size_t)order[(size_t)j]] == r0; ++j) {
+    for (; j < n && (j == i || !gflag[j]); ++j) {
       int64_t p = order[(size_t)j];
       if (codes[p] == 0 || p + k > next_sep[(size_t)p]) continue;
       members.push_back(p);
