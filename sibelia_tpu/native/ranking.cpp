@@ -302,6 +302,19 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
   std::memcpy(ar.grp.data(), gflag, (size_t)n);
 
   Prof _p_dbl("doubling_rounds");
+  // Each round refines rank groups by the rank `step` positions ahead.
+  // Groups are contiguous runs of `active` (current sorted order), and on
+  // collapsed genomes they are small but numerous (every position keeps a
+  // twin), so a global radix sort per round is mostly wasted motion:
+  // instead each group is stable-sorted locally by its members' lookahead
+  // ranks — identical result (parent groups already ordered by prefix
+  // rank; ties keep previous relative order), linear-time rounds.
+  // Lookahead ranks are captured for ALL members before any rank is
+  // rewritten (the numpy twin's gather/sort/write phase separation).
+  if ((int64_t)ar.sub.size() < n) ar.sub.resize(n);
+  int64_t* cvals = ar.sub.data();  // captured r[pos + step] per active slot
+  if ((int64_t)ar.nact.size() < n) ar.nact.resize(n);
+  int64_t* scratch = ar.nact.data();  // per-thread group sort scratch
   int64_t n_active = n;
   int64_t length = 32;
   while (length < k) {
@@ -325,37 +338,81 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
       n_active = w;
     }
     int64_t na = n_active;
+    if (Prof::enabled())
+      std::fprintf(stderr, "[prof]   round len=%lld step=%lld na=%lld\n",
+                   (long long)length, (long long)step, (long long)na);
     if (na == 0) break;
-    if ((int64_t)ar.key.size() < na) ar.key.resize(na);
-    if ((int64_t)ar.sub.size() < na) ar.sub.resize(na);
-    if ((int64_t)ar.nact.size() < na) ar.nact.resize(na);
-    if ((int64_t)ar.ngrp.size() < na) ar.ngrp.resize(na);
-    uint64_t* key = ar.key.data();
-    int64_t* sub = ar.sub.data();
     int64_t* act = ar.active.data();
-    for (int64_t i = 0; i < na; ++i) {
-      int64_t pos = act[i];
-      int64_t a = r[pos];
-      int64_t c = r[pos + step];
-      key[i] =
-          ((uint64_t)a << 32) | ((uint64_t)(c + (1 << 16)) & 0xFFFFFFFFULL);
+    uint8_t* grp = ar.grp.data();
+    // phase 1: capture lookahead ranks
+    parallel_for(na, [&](int64_t lo, int64_t hi) {
+      for (int64_t i = lo; i < hi; ++i) cvals[i] = r[act[i] + step];
+    });
+    // phase 2: per-group stable sort by cvals; chunks aligned to group
+    // starts so threads own whole groups
+    unsigned hw = std::thread::hardware_concurrency();
+    int T = (na >= (1 << 19) && hw > 1) ? (int)std::min<unsigned>(hw, 8) : 1;
+    std::vector<int64_t> bounds((size_t)T + 1);
+    bounds[0] = 0;
+    bounds[(size_t)T] = na;
+    for (int t = 1; t < T; ++t) {
+      int64_t x = na * t / T;
+      while (x < na && !grp[x]) ++x;
+      bounds[(size_t)t] = x;
     }
-    radix_argsort_u64_sk(key, sub, na);
-    int64_t* nact = ar.nact.data();
-    uint8_t* ngrp = ar.ngrp.data();
-    int64_t parent_first = 0, sub_start = 0;
-    for (int64_t i = 0; i < na; ++i) {
-      nact[i] = act[sub[i]];
-      // sorted keys carry (k1, biased k2); compare sequentially
-      bool parent_new = (i == 0) || ((key[i] >> 32) != (key[i - 1] >> 32));
-      bool grp_new = parent_new || (key[i] != key[i - 1]);
-      if (parent_new) parent_first = i;
-      if (grp_new) sub_start = i;
-      ngrp[i] = grp_new ? 1 : 0;
-      r[nact[i]] = (int64_t)(key[i] >> 32) + (sub_start - parent_first);
+    for (int t = 1; t < T; ++t)
+      if (bounds[(size_t)t] < bounds[(size_t)(t - 1)])
+        bounds[(size_t)t] = bounds[(size_t)(t - 1)];
+    auto work = [&](int tid) {
+      int64_t i = bounds[(size_t)tid], iend = bounds[(size_t)(tid + 1)];
+      int64_t* tmp = scratch + i;  // scratch slice owned by this chunk
+      while (i < iend) {
+        int64_t j = i + 1;
+        while (j < iend && !grp[j]) ++j;
+        int64_t g = j - i;
+        int64_t base = r[act[i]];
+        if (g == 2) {  // the dominant case: a position and its twin
+          int64_t c0 = cvals[i], c1 = cvals[i + 1];
+          if (c1 < c0) {
+            std::swap(act[i], act[i + 1]);
+            std::swap(cvals[i], cvals[i + 1]);
+          }
+          bool split = cvals[i] != cvals[i + 1];
+          r[act[i]] = base;
+          r[act[i + 1]] = split ? base + 1 : base;
+          grp[i + 1] = split ? 1 : 0;
+        } else {
+          // stable sort member slots by captured lookahead rank
+          for (int64_t t2 = 0; t2 < g; ++t2) tmp[t2] = i + t2;
+          std::stable_sort(tmp, tmp + g, [&](int64_t a, int64_t b) {
+            return cvals[a] < cvals[b];
+          });
+          // write back in sorted order via a small local copy
+          std::vector<int64_t> acts((size_t)g), cs((size_t)g);
+          for (int64_t t2 = 0; t2 < g; ++t2) {
+            acts[(size_t)t2] = act[tmp[t2]];
+            cs[(size_t)t2] = cvals[tmp[t2]];
+          }
+          int64_t sub_off = 0;
+          for (int64_t t2 = 0; t2 < g; ++t2) {
+            if (t2 > 0 && cs[(size_t)t2] != cs[(size_t)(t2 - 1)])
+              sub_off = t2;
+            act[i + t2] = acts[(size_t)t2];
+            cvals[i + t2] = cs[(size_t)t2];
+            grp[i + t2] = (t2 == 0) || (sub_off == t2);
+            r[acts[(size_t)t2]] = base + sub_off;
+          }
+        }
+        i = j;
+      }
+    };
+    if (T == 1) {
+      work(0);
+    } else {
+      std::vector<std::thread> th;
+      for (int t = 0; t < T; ++t) th.emplace_back(work, t);
+      for (auto& x : th) x.join();
     }
-    ar.active.swap(ar.nact);
-    ar.grp.swap(ar.ngrp);
     length += step;
   }
   std::memcpy(rank, r, (size_t)n * sizeof(int64_t));
