@@ -23,11 +23,13 @@ everywhere.
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
 
-from .ranking import CODE_OF, SEP_CODE, encode, kmer_ranks
+from .ranking import (CODE_OF, SEP_CODE, _PAD_BUCKET, encode, kmer_ranks,
+                      kmer_sorted_groups_jax)
 
 NO_BIFURCATION = (1 << 32) - 1  # reference: BifurcationId(-1), uint32
 
@@ -92,7 +94,8 @@ def enumerate_bifurcations(chromosomes: list[bytes], k: int) -> BifEnumeration:
         _backend = _jax.default_backend()
     except Exception:
         _backend = "cpu"
-    if _backend == "cpu" and n >= (1 << 16):
+    _force_dev = os.environ.get("SIBELIA_TPU_FORCE_DEVICE_ENUM") == "1"
+    if _backend == "cpu" and not _force_dev and n >= (1 << 16):
         from ..native import enumerate_native
         res = enumerate_native(codes, block_starts, n_chr, k)
         if res is not None:
@@ -102,8 +105,6 @@ def enumerate_bifurcations(chromosomes: list[bytes], k: int) -> BifEnumeration:
                 (strands[0][0], strands[1][0]),
                 (strands[0][1], strands[1][1]),
                 (strands[0][2], strands[1][2]))
-
-    rank, order = kmer_ranks(codes, k)
 
     # Candidate validity == the k-window crosses no separator; derived
     # from the next-separator index in one reverse cummin pass (cheaper
@@ -115,19 +116,49 @@ def enumerate_bifurcations(chromosomes: list[bytes], k: int) -> BifEnumeration:
 
     # Keep only candidate positions; groups are all-candidate or all-dropped
     # (a '#'-free k-mer fits inside its chromosome; see module docstring).
-    keep = order[valid[order]]
-    if keep.size == 0:
-        return _empty_enumeration()
+    if (_backend != "cpu" or _force_dev) and k <= 32:
+        # device fast path: the fused single-sort kernel delivers sorted
+        # positions, group ids and neighbor codes in one dispatch
+        import jax.numpy as jnp
+        pad_to = -(-n // _PAD_BUCKET) * _PAD_BUCKET
+        codes_p = codes if pad_to == n else np.concatenate(
+            [codes, np.zeros(pad_to - n, dtype=codes.dtype)])
+        order_d, gid_d, pc_d, nc_d = kmer_sorted_groups_jax(
+            jnp.asarray(codes_p), k)
+        order = np.asarray(order_d).astype(np.int64)
+        gid = np.asarray(gid_d)
+        prev_codes = np.asarray(pc_d)
+        next_code = np.asarray(nc_d)
+        if pad_to != n:
+            m0 = order < n
+            order, gid = order[m0], gid[m0]
+            prev_codes, next_code = prev_codes[m0], next_code[m0]
+        keep_mask = valid[order]
+        keep = order[keep_mask]
+        if keep.size == 0:
+            return _empty_enumeration()
+        g = gid[keep_mask]
+        prev_codes = prev_codes[keep_mask]
+        next_code = next_code[keep_mask]
+        group_start_mask = np.empty(keep.size, dtype=bool)
+        group_start_mask[0] = True
+        group_start_mask[1:] = g[1:] != g[:-1]
+    else:
+        rank, order = kmer_ranks(codes, k)
+        keep = order[valid[order]]
+        if keep.size == 0:
+            return _empty_enumeration()
+        kr = rank[keep]
+        group_start_mask = np.empty(keep.size, dtype=bool)
+        group_start_mask[0] = True
+        group_start_mask[1:] = kr[1:] != kr[:-1]
+        prev_codes = codes[keep - 1]
+        next_code = codes[np.minimum(keep + k, n - 1)]
 
-    kr = rank[keep]
-    group_start_mask = np.empty(keep.size, dtype=bool)
-    group_start_mask[0] = True
-    group_start_mask[1:] = kr[1:] != kr[:-1]
     starts_idx = np.flatnonzero(group_start_mask)
     group_sizes = np.diff(np.append(starts_idx, keep.size))
 
-    prev_bits = (1 << codes[keep - 1].astype(np.int64))
-    next_code = codes[np.minimum(keep + k, n - 1)]
+    prev_bits = (1 << prev_codes.astype(np.int64))
     next_bits = (1 << next_code.astype(np.int64))
     prev_or = np.bitwise_or.reduceat(prev_bits, starts_idx)
     next_or = np.bitwise_or.reduceat(next_bits, starts_idx)
@@ -140,7 +171,7 @@ def enumerate_bifurcations(chromosomes: list[bytes], k: int) -> BifEnumeration:
 
     bif_group = is_bif(prev_or) | is_bif(next_or)
 
-    terminal = (codes[keep - 1] == SEP_CODE) | (next_code == SEP_CODE)
+    terminal = (prev_codes == SEP_CODE) | (next_code == SEP_CODE)
     any_terminal = np.bitwise_or.reduceat(terminal.astype(np.int64), starts_idx) != 0
     counted = bif_group & ((group_sizes > 1) | any_terminal)
 

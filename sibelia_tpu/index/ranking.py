@@ -143,6 +143,41 @@ def _rank_round(r_ext: jax.Array, n: int, off):
     return r_ext_new, sidx, max_rank
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
+def kmer_sorted_groups_jax(codes: jax.Array, k: int):
+    """Fused single-sort enumeration step for k <= 32 (the device hot op).
+
+    ONE stable sort of the overlapped packed key pair with the position
+    iota as the only payload yields everything the bifurcation scan needs
+    in sorted order:
+
+      order  — positions sorted by k-mer (the argsort itself),
+      gid    — dense group id per sorted slot (cumsum of key-change flags),
+      prev/next neighbor codes — post-sort gathers (two jnp.take passes
+               are far cheaper on TPU than carrying payload lanes through
+               every stage of the sorting network).
+
+    Replaces the earlier two-sort formulation: per-position ranks (the
+    second sort, an inverse permutation) are never needed — the group scan
+    is driven entirely by sorted-order group boundaries, mirroring the
+    native host kernel's gflag scan (native/ranking.cpp).
+    """
+    n = codes.shape[0]
+    key1, key2, _ = _packed_keys(codes, k)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    # appending idx as a third key (unique) == stable sort, letting XLA
+    # skip its internal tie-break iota
+    sk1, sk2, order = jax.lax.sort((key1, key2, idx), num_keys=3,
+                                   is_stable=False)
+    newgrp = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        ((sk1[1:] != sk1[:-1]) | (sk2[1:] != sk2[:-1])).astype(jnp.int32)])
+    gid = jnp.cumsum(newgrp)
+    prev_code = jnp.take(codes, jnp.maximum(order - 1, 0))
+    next_code = jnp.take(codes, jnp.minimum(order + k, n - 1))
+    return order, gid, prev_code, next_code
+
+
 _PAD_BUCKET = 1 << 20  # pad n so jit shapes (and compiles) are reused
 
 

@@ -126,3 +126,27 @@ def test_native_kmer_ranks_matches_numpy():
         r1, o1 = kmer_ranks_numpy(codes, k)
         r2, o2 = nat.kmer_ranks_native(codes, k)
         assert np.array_equal(r1, r2) and np.array_equal(o1, o2), k
+
+
+def test_device_fused_path_matches_host(monkeypatch):
+    """The single-sort device enumeration path (kmer_sorted_groups_jax)
+    must agree with the host path on repetitive multi-chromosome input."""
+    import numpy as np
+    from sibelia_tpu.index import enumeration as E
+
+    rng = np.random.default_rng(11)
+    base = rng.choice(list(b"ACGT"), size=3000).astype(np.uint8)
+    mut = base.copy()
+    pos = rng.integers(0, len(mut), size=25)
+    mut[pos] = rng.choice(list(b"ACGT"), size=25)
+    chroms = [bytes(base), bytes(mut), bytes(base[200:2200])]
+    for k in (5, 11, 30, 32):
+        host = E.enumerate_bifurcations(chroms, k)
+        monkeypatch.setenv("SIBELIA_TPU_FORCE_DEVICE_ENUM", "1")
+        dev = E.enumerate_bifurcations(chroms, k)
+        monkeypatch.delenv("SIBELIA_TPU_FORCE_DEVICE_ENUM")
+        assert dev.count == host.count
+        for s in (0, 1):
+            assert np.array_equal(dev.chr[s], host.chr[s])
+            assert np.array_equal(dev.pos[s], host.pos[s])
+            assert np.array_equal(dev.bif_id[s], host.bif_id[s])
