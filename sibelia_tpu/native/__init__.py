@@ -33,7 +33,7 @@ def load() -> ctypes.CDLL | None:
                 or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
             os.makedirs(os.path.dirname(_SO), exist_ok=True)
             subprocess.run(
-                ["g++", "-O2", "-shared", "-fPIC", "-o", _SO, _SRC],
+                ["g++", "-O3", "-march=native", "-ffp-contract=off", "-shared", "-fPIC", "-o", _SO, _SRC],
                 check=True, capture_output=True)
         lib = ctypes.CDLL(_SO)
     except (OSError, subprocess.CalledProcessError):
