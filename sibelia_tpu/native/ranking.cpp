@@ -19,8 +19,56 @@
 #include <mutex>
 #include <algorithm>
 #include <chrono>
+#include <sys/mman.h>
 
 namespace {
+
+// Grow-only scratch buffer backed by anonymous mmap with MADV_HUGEPAGE.
+// The arenas below are per-call scratch measured in hundreds of MB; with
+// 4 KiB pages their first touch costs seconds of fault handling on the
+// first enumeration of a pipeline, with 2 MiB pages it is ~500x fewer
+// faults.  Growth discards contents (every user fills its range before
+// reading), so no copy is ever made.
+template <typename T>
+struct HVec {
+  T* ptr = nullptr;
+  size_t cap = 0;     // elements
+  size_t bytes = 0;   // mapped bytes
+  size_t size() const { return cap; }
+  T* data() { return ptr; }
+  const T* data() const { return ptr; }
+  T& operator[](size_t i) { return ptr[i]; }
+  const T& operator[](size_t i) const { return ptr[i]; }
+  void resize(size_t n) {
+    if (n <= cap) return;
+    size_t want = n + n / 8;  // slack so stagewise growth remaps rarely
+    size_t nb = (want * sizeof(T) + ((size_t)2 << 20) - 1) &
+                ~(((size_t)2 << 20) - 1);
+    void* p = mmap(nullptr, nb, PROT_READ | PROT_WRITE,
+                   MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+    if (p == MAP_FAILED) {
+      p = std::malloc(nb);
+      if (!p) {
+        std::fprintf(stderr, "sibelia_tpu: arena alloc failed\n");
+        std::abort();
+      }
+      if (ptr) {
+        if (bytes) munmap(ptr, bytes); else std::free(ptr);
+      }
+      ptr = (T*)p;
+      cap = nb / sizeof(T);
+      bytes = 0;  // malloc-backed
+      return;
+    }
+    madvise(p, nb, MADV_HUGEPAGE);
+    if (ptr) {
+      if (bytes) munmap(ptr, bytes); else std::free(ptr);
+    }
+    ptr = (T*)p;
+    cap = nb / sizeof(T);
+    bytes = nb;
+  }
+};
 
 // Phase timing, enabled by SIBELIA_TPU_PROF=1 (stderr).
 struct Prof {
@@ -70,9 +118,9 @@ void parallel_for(int64_t n, F f) {
 // scatter phases are parallelized over contiguous slices with
 // per-(thread, digit) cursors, which preserves stability.
 struct SortArena {
-  std::vector<uint64_t> k[2];
-  std::vector<int32_t> i[2];
-  std::vector<int64_t> i64[2];
+  HVec<uint64_t> k[2];
+  HVec<int32_t> i[2];
+  HVec<int64_t> i64[2];
   std::vector<std::vector<int64_t>> cnt;
 };
 SortArena& sort_arena() {
@@ -82,7 +130,7 @@ SortArena& sort_arena() {
 
 template <typename IdxT>
 void radix_argsort_impl(const uint64_t* keys, int64_t* idx, int64_t n,
-                        std::vector<uint64_t>* kbuf, std::vector<IdxT>* ibuf,
+                        HVec<uint64_t>* kbuf, HVec<IdxT>* ibuf,
                         std::vector<std::vector<int64_t>>& cntbuf,
                         uint64_t* sorted_out = nullptr) {
   int T = 1;
@@ -192,10 +240,10 @@ void radix_argsort_u64_sk(uint64_t* keys, int64_t* idx, int64_t n) {
 // runs dozens of times per pipeline and per-call allocation/page-fault
 // churn dominated the steady-state sort cost before this).
 struct RankArena {
-  std::vector<int64_t> next_sep, r, active, sub, nact, rank, order;
-  std::vector<uint64_t> p, shifted, big, key;
-  std::vector<uint8_t> grp, ngrp, gflag;
-  std::vector<int32_t> cursor;
+  HVec<int64_t> next_sep, r, active, sub, nact, rank, order;
+  HVec<uint64_t> p, shifted, big, key;
+  HVec<uint8_t> grp, ngrp, gflag;
+  HVec<int32_t> cursor;
 };
 RankArena& rank_arena() {
   static RankArena a;
@@ -229,18 +277,18 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
     }
   }
 
-  Prof _p_pack("pack");
   if ((int64_t)ar.p.size() < n + pad) ar.p.resize(n + pad);
   if ((int64_t)ar.shifted.size() < n + pad) ar.shifted.resize(n + pad);
   uint64_t* pp = ar.p.data();
   uint64_t* sh = ar.shifted.data();
-  parallel_for(n + pad, [&](int64_t lo, int64_t hi) {
-    for (int64_t i = lo; i < hi; ++i) {
-      uint64_t c = (i < n) ? codes[i] : 0;
-      pp[i] = (c - 1) & 3;
-    }
-  });
   {
+    Prof _p_pack("pack");
+    parallel_for(n + pad, [&](int64_t lo, int64_t hi) {
+      for (int64_t i = lo; i < hi; ++i) {
+        uint64_t c = (i < n) ? codes[i] : 0;
+        pp[i] = (c - 1) & 3;
+      }
+    });
     int64_t width = 1;
     while (width < b) {
       parallel_for(n + pad, [&](int64_t lo, int64_t hi) {
@@ -280,13 +328,50 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
 
   {
     Prof _p("rank_assign");
-    int64_t start = 0;
-    for (int64_t i = 0; i < n; ++i) {
-      bool newgrp = (i > 0) && (big[i] != big[i - 1]);
-      if (newgrp) start = i;
-      gflag[i] = (i == 0) || newgrp;
-      rank[order[i]] = start;
+    // group-start flags + bucket-start ranks in two parallel passes: each
+    // chunk records its last group start, a tiny serial pass turns those
+    // into carry-ins, then the rank scatter runs per chunk (order is a
+    // permutation, so slices never write the same rank slot).
+    unsigned hw = std::thread::hardware_concurrency();
+    int T = (n >= (1 << 19) && hw > 1) ? (int)std::min<unsigned>(hw, 8) : 1;
+    std::vector<int64_t> last_start((size_t)T, -1);
+    auto phase1 = [&](int t) {
+      int64_t lo = n * t / T, hi = n * (t + 1) / T;
+      int64_t ls = -1;
+      for (int64_t i = lo; i < hi; ++i) {
+        bool ng = (i == 0) || (big[i] != big[i - 1]);
+        gflag[i] = ng;
+        if (ng) ls = i;
+      }
+      last_start[(size_t)t] = ls;
+    };
+    auto run_all = [&](auto& fn) {
+      if (T == 1) {
+        fn(0);
+      } else {
+        std::vector<std::thread> th;
+        for (int t = 0; t < T; ++t) th.emplace_back(fn, t);
+        for (auto& x : th) x.join();
+      }
+    };
+    run_all(phase1);
+    std::vector<int64_t> carry((size_t)T, 0);
+    {
+      int64_t c = 0;
+      for (int t = 0; t < T; ++t) {
+        carry[(size_t)t] = c;
+        if (last_start[(size_t)t] >= 0) c = last_start[(size_t)t];
+      }
     }
+    auto phase2 = [&](int t) {
+      int64_t lo = n * t / T, hi = n * (t + 1) / T;
+      int64_t start = carry[(size_t)t];
+      for (int64_t i = lo; i < hi; ++i) {
+        if (gflag[i]) start = i;
+        rank[order[i]] = start;
+      }
+    };
+    run_all(phase2);
   }
 
   if (k <= 32) return;
@@ -297,9 +382,13 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
   std::memcpy(r, rank, (size_t)n * sizeof(int64_t));
   for (int64_t i = 0; i < k + 1; ++i) r[n + i] = -(i + 2);
 
-  ar.active.assign(order, order + n);
+  if ((int64_t)ar.active.size() < n) ar.active.resize(n);
   if ((int64_t)ar.grp.size() < n) ar.grp.resize(n);
-  std::memcpy(ar.grp.data(), gflag, (size_t)n);
+  parallel_for(n, [&](int64_t lo, int64_t hi) {
+    std::memcpy(ar.active.data() + lo, order + lo,
+                (size_t)(hi - lo) * sizeof(int64_t));
+    std::memcpy(ar.grp.data() + lo, gflag + lo, (size_t)(hi - lo));
+  });
 
   Prof _p_dbl("doubling_rounds");
   // Each round refines rank groups by the rank `step` positions ahead.
@@ -491,43 +580,91 @@ void* enum_run(const uint8_t* codes, int64_t n, const int64_t* block_starts,
   const int64_t* next_sep = ar.next_sep.data();
 
   // scan rank groups (gflag marks group starts in sorted order) over
-  // valid positions
+  // valid positions; parallel over group-aligned chunks — each thread
+  // numbers its groups locally, a prefix pass over the (≤8) chunk counts
+  // rebases the ids, so the result is identical to the serial scan
   struct Sel {
     int64_t sgpos;
     uint32_t id;
   };
-  std::vector<Sel> sel;
-  int64_t i = 0;
-  int64_t count = 0;
-  std::vector<int64_t> members;
-  while (i < n) {
-    int64_t j = i;
-    members.clear();
-    int prev_or = 0, next_or = 0;
-    bool terminal = false;
-    for (; j < n && (j == i || !gflag[j]); ++j) {
-      int64_t p = order[(size_t)j];
-      if (codes[p] == 0 || p + k > next_sep[(size_t)p]) continue;
-      members.push_back(p);
-      uint8_t pc = codes[p - 1];  // supergenome starts with '#', p >= 1
-      uint8_t nc = (p + k <= n - 1) ? codes[p + k] : codes[n - 1];
-      prev_or |= 1 << pc;
-      next_or |= 1 << nc;
-      if (pc == 0 || nc == 0) terminal = true;
+  unsigned hw_scan = std::thread::hardware_concurrency();
+  int TS = (n >= (1 << 19) && hw_scan > 1)
+               ? (int)std::min<unsigned>(hw_scan, 8)
+               : 1;
+  std::vector<int64_t> bounds((size_t)TS + 1);
+  bounds[0] = 0;
+  bounds[(size_t)TS] = n;
+  for (int t = 1; t < TS; ++t) {
+    int64_t x = n * t / TS;
+    while (x < n && !gflag[x]) ++x;
+    bounds[(size_t)t] = x;
+  }
+  for (int t = 1; t < TS; ++t)
+    if (bounds[(size_t)t] < bounds[(size_t)(t - 1)])
+      bounds[(size_t)t] = bounds[(size_t)(t - 1)];
+  std::vector<std::vector<Sel>> lsel((size_t)TS);
+  std::vector<int64_t> lcount((size_t)TS, 0);
+  auto scan_chunk = [&](int tid) {
+    int64_t i = bounds[(size_t)tid], iend = bounds[(size_t)(tid + 1)];
+    std::vector<Sel>& sel = lsel[(size_t)tid];
+    int64_t count = 0;
+    std::vector<int64_t> members;
+    while (i < iend) {
+      int64_t j = i;
+      members.clear();
+      int prev_or = 0, next_or = 0;
+      bool terminal = false;
+      for (; j < iend && (j == i || !gflag[j]); ++j) {
+        int64_t p = order[(size_t)j];
+        if (codes[p] == 0 || p + k > next_sep[(size_t)p]) continue;
+        members.push_back(p);
+        uint8_t pc = codes[p - 1];  // supergenome starts with '#', p >= 1
+        uint8_t nc = (p + k <= n - 1) ? codes[p + k] : codes[n - 1];
+        prev_or |= 1 << pc;
+        next_or |= 1 << nc;
+        if (pc == 0 || nc == 0) terminal = true;
+      }
+      if (!members.empty()) {
+        auto is_bif = [](int bits) {
+          return __builtin_popcount(bits) > 1 || (bits & 1) != 0;
+        };
+        bool bif = is_bif(prev_or) || is_bif(next_or);
+        bool counted = bif && ((int64_t)members.size() > 1 || terminal);
+        if (counted) {
+          for (int64_t p : members)
+            sel.push_back(Sel{p, (uint32_t)count});
+          ++count;
+        }
+      }
+      i = j;
     }
-    if (!members.empty()) {
-      auto is_bif = [](int bits) {
-        return __builtin_popcount(bits) > 1 || (bits & 1) != 0;
-      };
-      bool bif = is_bif(prev_or) || is_bif(next_or);
-      bool counted = bif && ((int64_t)members.size() > 1 || terminal);
-      if (counted) {
-        for (int64_t p : members)
-          sel.push_back(Sel{p, (uint32_t)count});
-        ++count;
+    lcount[(size_t)tid] = count;
+  };
+  if (TS == 1) {
+    scan_chunk(0);
+  } else {
+    std::vector<std::thread> th;
+    for (int t = 0; t < TS; ++t) th.emplace_back(scan_chunk, t);
+    for (auto& x : th) x.join();
+  }
+  int64_t count = 0;
+  std::vector<int64_t> id_off((size_t)TS, 0);
+  for (int t = 0; t < TS; ++t) {
+    id_off[(size_t)t] = count;
+    count += lcount[(size_t)t];
+  }
+  std::vector<Sel> sel;
+  {
+    size_t total_sel = 0;
+    for (int t = 0; t < TS; ++t) total_sel += lsel[(size_t)t].size();
+    sel.reserve(total_sel);
+    for (int t = 0; t < TS; ++t) {
+      uint32_t off = (uint32_t)id_off[(size_t)t];
+      for (Sel s : lsel[(size_t)t]) {
+        s.id += off;
+        sel.push_back(s);
       }
     }
-    i = j;
   }
   res->count = count;
 
