@@ -19,6 +19,7 @@
 #include <mutex>
 #include <algorithm>
 #include <chrono>
+#include <unordered_map>
 #include <sys/mman.h>
 
 namespace {
@@ -244,6 +245,9 @@ struct RankArena {
   HVec<uint64_t> p, shifted, big, key;
   HVec<uint8_t> grp, ngrp, gflag;
   HVec<int32_t> cursor;
+  HVec<int64_t> qa, qb;   // LCP refinement: query base/member positions
+  HVec<int32_t> ql;       // answered match lengths (capped at k)
+  HVec<int32_t> wh;       // word-granular next-mismatch horizon
 };
 RankArena& rank_arena() {
   static RankArena a;
@@ -254,9 +258,143 @@ std::mutex& rank_mutex() {
   return m;
 }
 
-// Fills ar.rank (bucket-start dense ranks), ar.order (stable by
-// (rank, position)) and ar.gflag (group-start flags in sorted order) —
-// rank/order semantics identical to kmer_ranks_numpy.
+// ---------------------------------------------------------------------------
+// LCP-based group refinement (k > 32) — replaces chunked prefix doubling.
+//
+// After the initial 32-char ranking, every multi-member rank group is
+// resolved to full-k lexicographic order with ONE suffix comparison per
+// non-first member (vs. log2(k/32) full passes of doubling).  On collapsed
+// genomes (the stage-2+ state of the pipeline) nearly every position sits
+// in a twin group whose pair offset is one of a handful of strain-to-strain
+// alignment offsets, so the comparisons batch by offset: offsets with many
+// queries get an O(n/16) word-equality horizon (one xor per 16 chars, a
+// backward scan, then O(1) per query); rare offsets compare packed words
+// directly with early exit at k.
+//
+// Chars are compared through the packed sliding words ar.p (16 chars per
+// word, built by the pack phase), in which '#'(0) aliases 'T' ((c-1)&3).
+// This is safe: members of one initial group that are VALID (window
+// crossing no separator) never contain '#' inside their k-window, so
+// valid-vs-valid comparisons are exact; '#' aliasing can only merge
+// invalid (sentinel-key) positions into groups, and the enumeration scan
+// filters invalid members out of every group.  Final ranks of invalid
+// positions may therefore differ from the doubling twin (which splits the
+// sentinel group by rank chains); the backend contract is exact ranks and
+// order for valid windows only (see tests/test_ranking_backends.py).
+// ---------------------------------------------------------------------------
+
+bool lcp_refine_enabled() {
+  static int e = [] {
+    const char* v = std::getenv("SIBELIA_TPU_LCP_REFINE");
+    return (v && v[0] == '0') ? 0 : 1;
+  }();
+  return e != 0;
+}
+
+// First differing char index inside a 32-bit packed word pair (earlier
+// chars occupy higher bits).
+static inline int64_t first_diff_char32(uint32_t x) {
+  return (int64_t)(__builtin_clz(x) >> 1);
+}
+
+// Match length of suffixes p,q via direct packed-word compare: chars
+// [l0, cap) are scanned 16 at a time; [0, l0) is known equal.
+static inline int64_t lcp_direct(const uint64_t* pp, int64_t p, int64_t q,
+                                 int64_t l0, int64_t cap) {
+  int64_t l = l0;
+  while (l < cap) {
+    uint32_t x = (uint32_t)pp[p + l] ^ (uint32_t)pp[q + l];
+    if (x) {
+      int64_t len = l + first_diff_char32(x);
+      return len < cap ? len : cap;
+    }
+    l += 16;
+  }
+  return cap;
+}
+
+struct LcpRefineCtx {
+  const uint8_t* codes;
+  const uint64_t* pp;
+  int64_t n, k, pad;
+  int64_t char_at(int64_t i) const { return i < n ? (int64_t)codes[i] : 0; }
+};
+
+// Order-and-split of one group's members (positions ascending, all known
+// equal over [0, l0)) into full-k equality classes in lexicographic
+// order.  lcp_of(j) gives match length of members[j] vs members[0] for
+// the top-level call (batched answers); recursion recomputes directly.
+// Appends (class_size) splits by writing ranks: members of the c-th class
+// get rank = group_rank_base + (index of class start in final order).
+struct GroupResolver {
+  const LcpRefineCtx& ctx;
+  int64_t* rank;
+
+  explicit GroupResolver(const LcpRefineCtx& c, int64_t* r)
+      : ctx(c), rank(r) {}
+
+  // members: positions ascending; lv[j] = match length vs members[0]
+  // (lv[0] unused), capped at k.  base_rank = bucket-start rank of the
+  // whole set; writes final ranks.  Returns nothing.
+  void resolve(std::vector<int64_t>& members, std::vector<int64_t>& lv,
+               int64_t base_rank, int64_t l0) {
+    size_t g = members.size();
+    int64_t m0 = members[0];
+    // order buckets: the m0-class (lcp >= k) plus one bucket per distinct
+    // (L, divergence char); bucket order = lexicographic path order
+    struct Bucket {
+      int64_t L;       // divergence depth vs m0 (== k for the m0 class)
+      int64_t ch;      // member char at depth L (unused for m0 class)
+      std::vector<int64_t> mem;
+    };
+    std::vector<Bucket> buckets;
+    buckets.push_back(Bucket{ctx.k, -1, {m0}});
+    for (size_t j = 1; j < g; ++j) {
+      int64_t L = lv[j];
+      if (L >= ctx.k) {
+        buckets[0].mem.push_back(members[j]);
+        continue;
+      }
+      int64_t ch = ctx.char_at(members[j] + L);
+      bool found = false;
+      for (auto& b : buckets) {
+        if (b.L == L && b.ch == ch && b.L < ctx.k) {
+          b.mem.push_back(members[j]);
+          found = true;
+          break;
+        }
+      }
+      if (!found) buckets.push_back(Bucket{L, ch, {members[j]}});
+    }
+    // sort buckets lexicographically: compare along the m0 path — at
+    // depth min(L1, L2) the deeper bucket carries m0's char
+    std::stable_sort(buckets.begin(), buckets.end(),
+                     [&](const Bucket& x, const Bucket& y) {
+                       int64_t L = x.L < y.L ? x.L : y.L;
+                       int64_t cx = (x.L > L) ? ctx.char_at(m0 + L) : x.ch;
+                       int64_t cy = (y.L > L) ? ctx.char_at(m0 + L) : y.ch;
+                       return cx < cy;
+                     });
+    int64_t off = 0;
+    for (auto& b : buckets) {
+      if (b.mem.size() == 1 || b.L >= ctx.k) {
+        // singleton, or the m0 class (all full-k equal): one class
+        for (int64_t m : b.mem) rank[m] = base_rank + off;
+        off += (int64_t)b.mem.size();
+      } else {
+        // same divergence char: equal over [0, b.L + 1); recurse with
+        // direct comparisons (rare — repeats branching identically)
+        std::vector<int64_t> sub_lv(b.mem.size(), 0);
+        int64_t s0 = b.mem[0];
+        for (size_t j = 1; j < b.mem.size(); ++j)
+          sub_lv[j] = lcp_direct(ctx.pp, s0, b.mem[j], b.L + 1, ctx.k);
+        int64_t sz = (int64_t)b.mem.size();
+        resolve(b.mem, sub_lv, base_rank + off, b.L + 1);
+        off += sz;
+      }
+    }
+  }
+};
 void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
                    RankArena& ar) {
   int64_t m = k < 32 ? k : 32;
@@ -376,6 +514,221 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
 
   if (k <= 32) return;
 
+  if (lcp_refine_enabled()) {
+    Prof _p_lcp("lcp_refine");
+    const int64_t HORIZON_MIN = 512;  // queries per offset to amortize O(n/16)
+    LcpRefineCtx ctx{codes, pp, n, k, pad};
+    // 1) collect one (first member, member) query per extra group member
+    if ((int64_t)ar.qa.size() < n) ar.qa.resize(n);
+    if ((int64_t)ar.qb.size() < n) ar.qb.resize(n);
+    if ((int64_t)ar.ql.size() < n) ar.ql.resize(n);
+    int64_t* qa = ar.qa.data();
+    int64_t* qb = ar.qb.data();
+    int32_t* ql = ar.ql.data();
+    int64_t Q = 0;
+    {
+      int64_t i = 0;
+      while (i < n) {
+        int64_t j = i + 1;
+        while (j < n && !gflag[j]) ++j;
+        if (j - i >= 2) {
+          int64_t m0 = order[i];
+          for (int64_t t = i + 1; t < j; ++t) {
+            qa[Q] = m0;
+            qb[Q] = order[t];
+            ++Q;
+          }
+        }
+        i = j;
+      }
+    }
+    // 2) answer queries, batched by offset d = qb - qa (members are in
+    // ascending position order within a group, so d > 0)
+    {
+      std::vector<std::pair<int64_t, std::vector<int64_t>>> byd;
+      {
+        std::unordered_map<int64_t, int64_t> slot;
+        for (int64_t qi = 0; qi < Q; ++qi) {
+          int64_t d = qb[qi] - qa[qi];
+          auto it = slot.find(d);
+          if (it == slot.end()) {
+            slot.emplace(d, (int64_t)byd.size());
+            byd.emplace_back(d, std::vector<int64_t>{qi});
+          } else {
+            byd[(size_t)it->second].second.push_back(qi);
+          }
+        }
+      }
+      if ((int64_t)ar.wh.size() < (n + pad) / 16 + 2)
+        ar.wh.resize((n + pad) / 16 + 2);
+      unsigned hw = std::thread::hardware_concurrency();
+      int T = (Q >= (1 << 18) && hw > 1 && byd.size() > 1)
+                  ? (int)std::min<unsigned>(hw, 8)
+                  : 1;
+      if (T > (int)byd.size()) T = (int)byd.size();
+      // second horizon buffer for the extra threads
+      static std::vector<std::vector<int32_t>> wh_extra;
+      if ((int)wh_extra.size() < T - 1) wh_extra.resize((size_t)(T - 1));
+      auto answer_bucket = [&](int64_t d, const std::vector<int64_t>& qs,
+                               int32_t* wh) {
+        if ((int64_t)qs.size() < HORIZON_MIN) {
+          for (int64_t qi : qs)
+            ql[qi] = (int32_t)lcp_direct(pp, qa[qi], qb[qi], 0, k);
+          return;
+        }
+        // word-granular horizon: wh[w] = first grid word >= w whose
+        // 16-char window differs from the window d chars ahead
+        int64_t nw = (n + pad - 16 - d) / 16 + 1;
+        if (nw < 0) nw = 0;
+        int32_t nxt = (int32_t)nw;
+        for (int64_t w = nw - 1; w >= 0; --w) {
+          int64_t a = w * 16;
+          if ((uint32_t)(pp[a] ^ pp[a + d])) nxt = (int32_t)w;
+          wh[w] = nxt;
+        }
+        for (int64_t qi : qs) {
+          int64_t p = qa[qi];
+          int64_t len;
+          uint32_t x0 = (uint32_t)(pp[p] ^ pp[p + d]);
+          if (x0) {
+            len = first_diff_char32(x0);
+          } else {
+            int64_t w = ((p & ~15LL) + 16) >> 4;
+            if (w >= nw) {
+              len = k;
+            } else {
+              int64_t w1 = wh[w];
+              if (w1 >= nw) {
+                len = k;
+              } else {
+                uint32_t x = (uint32_t)(pp[w1 * 16] ^ pp[w1 * 16 + d]);
+                len = w1 * 16 + (x ? first_diff_char32(x) : 0) - p;
+              }
+            }
+          }
+          ql[qi] = (int32_t)(len < k ? len : k);
+        }
+      };
+      if (T <= 1) {
+        for (auto& e : byd) answer_bucket(e.first, e.second, ar.wh.data());
+      } else {
+        // static split of buckets by cumulative query count
+        std::vector<std::vector<int64_t>> assign((size_t)T);
+        std::vector<int64_t> load((size_t)T, 0);
+        for (int64_t bi = 0; bi < (int64_t)byd.size(); ++bi) {
+          int best = 0;
+          for (int t = 1; t < T; ++t)
+            if (load[(size_t)t] < load[(size_t)best]) best = t;
+          assign[(size_t)best].push_back(bi);
+          load[(size_t)best] += (int64_t)byd[(size_t)bi].second.size();
+        }
+        std::vector<std::thread> th;
+        for (int t = 0; t < T; ++t) {
+          th.emplace_back([&, t]() {
+            int32_t* wh = ar.wh.data();
+            if (t > 0) {
+              auto& buf = wh_extra[(size_t)(t - 1)];
+              if ((int64_t)buf.size() < (n + pad) / 16 + 2)
+                buf.resize((size_t)((n + pad) / 16 + 2));
+              wh = buf.data();
+            }
+            for (int64_t bi : assign[(size_t)t])
+              answer_bucket(byd[(size_t)bi].first, byd[(size_t)bi].second,
+                            wh);
+          });
+        }
+        for (auto& x : th) x.join();
+      }
+    }
+    // 3) per-group resolution: twin fast path inline, general groups via
+    // the recursive bucket resolver; parallel over group-aligned chunks
+    // (each group's ranks are written only from its own chunk)
+    {
+      unsigned hw = std::thread::hardware_concurrency();
+      int T = (n >= (1 << 19) && hw > 1) ? (int)std::min<unsigned>(hw, 8) : 1;
+      // chunk bounds on group starts, with each chunk's starting query
+      // index recovered by counting members before it
+      std::vector<int64_t> b_i((size_t)T + 1), b_q((size_t)T + 1);
+      b_i[0] = 0;
+      b_i[(size_t)T] = n;
+      for (int t = 1; t < T; ++t) {
+        int64_t x = n * t / T;
+        while (x < n && !gflag[x]) ++x;
+        b_i[(size_t)t] = x;
+      }
+      for (int t = 1; t < T; ++t)
+        if (b_i[(size_t)t] < b_i[(size_t)(t - 1)])
+          b_i[(size_t)t] = b_i[(size_t)(t - 1)];
+      // query index at chunk start = (#non-first members of multi-groups
+      // before it); count per chunk in parallel, then prefix
+      std::vector<int64_t> qcnt((size_t)T, 0);
+      {
+        std::vector<std::thread> th;
+        for (int t = 0; t < T; ++t) {
+          th.emplace_back([&, t]() {
+            int64_t i = b_i[(size_t)t], iend = b_i[(size_t)(t + 1)];
+            int64_t c = 0;
+            while (i < iend) {
+              int64_t j = i + 1;
+              while (j < iend && !gflag[j]) ++j;
+              if (j - i >= 2) c += j - i - 1;
+              i = j;
+            }
+            qcnt[(size_t)t] = c;
+          });
+        }
+        for (auto& x : th) x.join();
+      }
+      b_q[0] = 0;
+      for (int t = 0; t < T; ++t) b_q[(size_t)(t + 1)] = b_q[(size_t)t] + qcnt[(size_t)t];
+      auto resolve_chunk = [&](int tid) {
+        GroupResolver res(ctx, rank);
+        std::vector<int64_t> members, lv;
+        int64_t i = b_i[(size_t)tid], iend = b_i[(size_t)(tid + 1)];
+        int64_t qi = b_q[(size_t)tid];
+        while (i < iend) {
+          int64_t j = i + 1;
+          while (j < iend && !gflag[j]) ++j;
+          int64_t g = j - i;
+          if (g == 2) {
+            // twin fast path (the dominant case)
+            int64_t m0 = order[i], m1 = order[i + 1];
+            int64_t L = ql[qi];
+            ++qi;
+            if (L >= k) {
+              rank[m0] = i;
+              rank[m1] = i;
+            } else if (ctx.char_at(m0 + L) < ctx.char_at(m1 + L)) {
+              rank[m0] = i;
+              rank[m1] = i + 1;
+            } else {
+              rank[m1] = i;
+              rank[m0] = i + 1;
+            }
+          } else if (g > 2) {
+            members.clear();
+            lv.clear();
+            members.push_back(order[i]);
+            lv.push_back(0);
+            for (int64_t t2 = i + 1; t2 < j; ++t2) {
+              members.push_back(order[t2]);
+              lv.push_back((int64_t)ql[qi]);
+              ++qi;
+            }
+            res.resolve(members, lv, i, 32);
+          }
+          i = j;
+        }
+      };
+      if (T == 1) {
+        resolve_chunk(0);
+      } else {
+        std::vector<std::thread> th;
+        for (int t = 0; t < T; ++t) th.emplace_back(resolve_chunk, t);
+        for (auto& x : th) x.join();
+      }
+    }
+  } else {
   // r with negative sentinels past the end (numpy tail -(arange(k+1)+2))
   if ((int64_t)ar.r.size() < n + k + 1) ar.r.resize(n + k + 1);
   int64_t* r = ar.r.data();
@@ -505,6 +858,7 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
     length += step;
   }
   std::memcpy(rank, r, (size_t)n * sizeof(int64_t));
+  }
 
   // final order, stable by (rank, position): ranks are global bucket
   // starts, so one stable counting scatter places every element directly
