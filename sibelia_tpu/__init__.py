@@ -18,3 +18,20 @@ Layout:
 
 __version__ = "0.1.0"
 VERSION = "3.0.7"  # reference compatibility version reported in outputs
+
+# Honor an explicit platform choice even under harnesses whose
+# sitecustomize force-selects a platform via jax.config at interpreter
+# startup (which silently overrides the JAX_PLATFORMS env var).
+# SIBELIA_TPU_PLATFORM takes precedence; it re-asserts the choice through
+# jax.config before any backend is initialized.
+import os as _os
+
+_plat = _os.environ.get("SIBELIA_TPU_PLATFORM")
+if _plat:
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _plat)
+    except Exception:
+        pass
+del _os

@@ -24,12 +24,38 @@
 
 namespace {
 
-// Grow-only scratch buffer backed by anonymous mmap with MADV_HUGEPAGE.
-// The arenas below are per-call scratch measured in hundreds of MB; with
-// 4 KiB pages their first touch costs seconds of fault handling on the
-// first enumeration of a pipeline, with 2 MiB pages it is ~500x fewer
-// faults.  Growth discards contents (every user fills its range before
-// reading), so no copy is ever made.
+// Whether to request transparent huge pages on arena mappings.  Huge
+// pages cut first-touch faults ~500x, but when the kernel's THP defrag
+// mode is "always" or "madvise" the fault path runs SYNCHRONOUS direct
+// compaction, which on busy/small hosts costs tens of seconds of sys
+// time per arena — far worse than the 4 KiB faults it saves.  So THP is
+// requested only when the active defrag mode is asynchronous ("defer",
+// "defer+madvise") or "never"; SIBELIA_TPU_HUGEPAGE=0/1 forces.
+bool hugepage_ok() {
+  static int ok = [] {
+    const char* v = std::getenv("SIBELIA_TPU_HUGEPAGE");
+    if (v && v[0] == '0') return 0;
+    if (v && v[0] == '1') return 1;
+    FILE* f = std::fopen("/sys/kernel/mm/transparent_hugepage/defrag", "r");
+    if (!f) return 0;
+    char buf[256] = {0};
+    size_t got = std::fread(buf, 1, sizeof(buf) - 1, f);
+    std::fclose(f);
+    (void)got;
+    const char* b = std::strchr(buf, '[');
+    if (!b) return 0;
+    return (std::strncmp(b, "[defer", 6) == 0 ||
+            std::strncmp(b, "[never", 6) == 0)
+               ? 1
+               : 0;
+  }();
+  return ok != 0;
+}
+
+// Grow-only scratch buffer backed by anonymous mmap (THP requested only
+// when safe, see hugepage_ok).  The arenas below are per-call scratch
+// measured in hundreds of MB.  Growth discards contents (every user
+// fills its range before reading), so no copy is ever made.
 template <typename T>
 struct HVec {
   T* ptr = nullptr;
@@ -61,7 +87,7 @@ struct HVec {
       bytes = 0;  // malloc-backed
       return;
     }
-    madvise(p, nb, MADV_HUGEPAGE);
+    if (hugepage_ok()) madvise(p, nb, MADV_HUGEPAGE);
     if (ptr) {
       if (bytes) munmap(ptr, bytes); else std::free(ptr);
     }
