@@ -259,7 +259,14 @@ def load_ranking() -> ctypes.CDLL | None:
 
 def kmer_ranks_native(codes: np.ndarray, k: int):
     """Native (rank, order) twin of index.ranking.kmer_ranks_numpy;
-    None if the native library is unavailable."""
+    None if the native library is unavailable.
+
+    Contract: identical GROUPING of valid windows (equal rank <=>
+    identical k-window) and identical valid-filtered sorted order.  Rank
+    VALUES and the placement of invalid (separator-crossing) positions
+    may differ from the numpy twin in groups that mix valid and invalid
+    members (the k>32 LCP refinement leaves invalid members at the
+    group's base rank; see native/ranking.cpp)."""
     lib = load_ranking()
     if lib is None:
         return None

@@ -301,12 +301,19 @@ std::mutex& rank_mutex() {
 // word, built by the pack phase), in which '#'(0) aliases 'T' ((c-1)&3).
 // This is safe: members of one initial group that are VALID (window
 // crossing no separator) never contain '#' inside their k-window, so
-// valid-vs-valid comparisons are exact; '#' aliasing can only merge
-// invalid (sentinel-key) positions into groups, and the enumeration scan
-// filters invalid members out of every group.  Final ranks of invalid
-// positions may therefore differ from the doubling twin (which splits the
-// sentinel group by rank chains); the backend contract is exact ranks and
-// order for valid windows only (see tests/test_ranking_backends.py).
+// valid-vs-valid comparisons are exact.  INVALID members (sentinel-key
+// positions, plus valid all-T windows that collide with the sentinel
+// key) are excluded from refinement entirely: they keep the group's base
+// rank and thus sort first within the group, while valid classes are
+// ranked after them (base + #invalid + class offset).  The backend
+// contract is therefore GROUPING of valid positions (equal final rank
+// <=> identical k-window) plus the valid-filtered sorted ORDER — NOT
+// exact rank values: a group that mixes valid and invalid members gets
+// rank values shifted relative to the numpy doubling twin (which splits
+// the sentinel group by rank chains).  The enumeration filters invalid
+// members out of every group, so pipeline output is identical either
+// way.  See tests/test_ranking_backends.py and
+// tests/test_enumeration.py::_assert_valid_parity.
 // ---------------------------------------------------------------------------
 
 bool lcp_refine_enabled() {
@@ -324,11 +331,19 @@ static inline int64_t first_diff_char32(uint32_t x) {
 }
 
 // Match length of suffixes p,q via direct packed-word compare: chars
-// [l0, cap) are scanned 16 at a time; [0, l0) is known equal.
+// [l0, cap) are scanned 16 at a time; [0, l0) is known equal.  words_end
+// is the element count of pp (n + pad): the scan is explicitly bounded so
+// it can never read past the buffer regardless of pad/zero-fill policy.
+// If the buffer is exhausted without a mismatch, the suffixes are equal
+// to the horizon and full match (cap) is reported — positions that deep
+// are invalid windows whose exact refinement is out of contract anyway.
 static inline int64_t lcp_direct(const uint64_t* pp, int64_t p, int64_t q,
-                                 int64_t l0, int64_t cap) {
+                                 int64_t l0, int64_t cap,
+                                 int64_t words_end) {
+  int64_t hi = p > q ? p : q;
+  int64_t scan_cap = cap < words_end - hi ? cap : words_end - hi;
   int64_t l = l0;
-  while (l < cap) {
+  while (l < scan_cap) {
     uint32_t x = (uint32_t)pp[p + l] ^ (uint32_t)pp[q + l];
     if (x) {
       int64_t len = l + first_diff_char32(x);
@@ -342,8 +357,12 @@ static inline int64_t lcp_direct(const uint64_t* pp, int64_t p, int64_t q,
 struct LcpRefineCtx {
   const uint8_t* codes;
   const uint64_t* pp;
+  const int64_t* next_sep;
   int64_t n, k, pad;
   int64_t char_at(int64_t i) const { return i < n ? (int64_t)codes[i] : 0; }
+  // window validity as the enumeration defines it: crosses no separator
+  // nor the end of the string ('#' and padding count as separators)
+  bool window_valid(int64_t p) const { return p + k <= next_sep[p]; }
 };
 
 // Order-and-split of one group's members (positions ascending, all known
@@ -355,6 +374,7 @@ struct LcpRefineCtx {
 struct GroupResolver {
   const LcpRefineCtx& ctx;
   int64_t* rank;
+  std::unordered_map<int64_t, size_t> bucket_of;  // (L*8+ch) -> bucket idx
 
   explicit GroupResolver(const LcpRefineCtx& c, int64_t* r)
       : ctx(c), rank(r) {}
@@ -382,16 +402,17 @@ struct GroupResolver {
         continue;
       }
       int64_t ch = ctx.char_at(members[j] + L);
-      bool found = false;
-      for (auto& b : buckets) {
-        if (b.L == L && b.ch == ch && b.L < ctx.k) {
-          b.mem.push_back(members[j]);
-          found = true;
-          break;
-        }
+      // O(1) bucket lookup keyed by (L, ch) — a linear scan over buckets
+      // is near-quadratic for wide groups (many distinct divergences)
+      auto it = bucket_of.find(L * 8 + ch);
+      if (it != bucket_of.end()) {
+        buckets[it->second].mem.push_back(members[j]);
+      } else {
+        bucket_of.emplace(L * 8 + ch, buckets.size());
+        buckets.push_back(Bucket{L, ch, {members[j]}});
       }
-      if (!found) buckets.push_back(Bucket{L, ch, {members[j]}});
     }
+    bucket_of.clear();
     // sort buckets lexicographically: compare along the m0 path — at
     // depth min(L1, L2) the deeper bucket carries m0's char
     std::stable_sort(buckets.begin(), buckets.end(),
@@ -413,7 +434,8 @@ struct GroupResolver {
         std::vector<int64_t> sub_lv(b.mem.size(), 0);
         int64_t s0 = b.mem[0];
         for (size_t j = 1; j < b.mem.size(); ++j)
-          sub_lv[j] = lcp_direct(ctx.pp, s0, b.mem[j], b.L + 1, ctx.k);
+          sub_lv[j] = lcp_direct(ctx.pp, s0, b.mem[j], b.L + 1, ctx.k,
+                                 ctx.n + ctx.pad);
         int64_t sz = (int64_t)b.mem.size();
         resolve(b.mem, sub_lv, base_rank + off, b.L + 1);
         off += sz;
@@ -543,7 +565,7 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
   if (lcp_refine_enabled()) {
     Prof _p_lcp("lcp_refine");
     const int64_t HORIZON_MIN = 512;  // queries per offset to amortize O(n/16)
-    LcpRefineCtx ctx{codes, pp, n, k, pad};
+    LcpRefineCtx ctx{codes, pp, ar.next_sep.data(), n, k, pad};
     // 1) collect one (first member, member) query per extra group member
     if ((int64_t)ar.qa.size() < n) ar.qa.resize(n);
     if ((int64_t)ar.qb.size() < n) ar.qb.resize(n);
@@ -599,7 +621,7 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
                                int32_t* wh) {
         if ((int64_t)qs.size() < HORIZON_MIN) {
           for (int64_t qi : qs)
-            ql[qi] = (int32_t)lcp_direct(pp, qa[qi], qb[qi], 0, k);
+            ql[qi] = (int32_t)lcp_direct(pp, qa[qi], qb[qi], 0, k, n + pad);
           return;
         }
         // word-granular horizon: wh[w] = first grid word >= w whose
@@ -716,7 +738,8 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
           int64_t j = i + 1;
           while (j < iend && !gflag[j]) ++j;
           int64_t g = j - i;
-          if (g == 2) {
+          if (g == 2 && ctx.window_valid(order[i]) &&
+              ctx.window_valid(order[i + 1])) {
             // twin fast path (the dominant case)
             int64_t m0 = order[i], m1 = order[i + 1];
             int64_t L = ql[qi];
@@ -731,17 +754,58 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
               rank[m1] = i;
               rank[m0] = i + 1;
             }
-          } else if (g > 2) {
+          } else if (g > 1) {
+            // Invalid members (sentinel-key positions; includes the valid
+            // all-T key collision's invalid cohabitants) are excluded from
+            // refinement: they keep the base rank i (sorting first,
+            // position-stable), and valid classes are ranked after the
+            // invalid block so every rank bucket's members stay disjoint
+            // (the final counting scatter requires it).  Their exact order
+            // is out of contract — the enumeration filters them from every
+            // group.  This also short-circuits the giant all-sentinel
+            // group at contig boundaries, which used to be fully ordered
+            // with full-k LCP queries for no semantic effect.
             members.clear();
             lv.clear();
-            members.push_back(order[i]);
-            lv.push_back(0);
+            int64_t n_invalid = 0;
+            int64_t m0 = order[i];
+            bool m0_valid = ctx.window_valid(m0);
+            if (!m0_valid) ++n_invalid;
             for (int64_t t2 = i + 1; t2 < j; ++t2) {
-              members.push_back(order[t2]);
-              lv.push_back((int64_t)ql[qi]);
+              int64_t mt = order[t2];
+              int64_t L = (int64_t)ql[qi];
               ++qi;
+              if (!ctx.window_valid(mt)) {
+                ++n_invalid;
+                continue;
+              }
+              if (members.empty() && !m0_valid) {
+                members.push_back(mt);  // becomes the reference member
+                lv.push_back(0);
+              } else if (members.empty()) {
+                members.push_back(m0);
+                lv.push_back(0);
+                members.push_back(mt);
+                lv.push_back(L);
+              } else if (m0_valid) {
+                members.push_back(mt);
+                lv.push_back(L);  // ql answers are vs m0 == members[0]
+              } else {
+                // reference member changed: recompute match length
+                members.push_back(mt);
+                lv.push_back(lcp_direct(ctx.pp, members[0], mt, 0, k,
+                                        ctx.n + ctx.pad));
+              }
             }
-            res.resolve(members, lv, i, 32);
+            if (m0_valid && members.empty()) {
+              members.push_back(m0);
+              lv.push_back(0);
+            }
+            if ((int64_t)members.size() >= 2)
+              res.resolve(members, lv, i + n_invalid, 32);
+            else if (members.size() == 1)
+              rank[members[0]] = i + n_invalid;
+            // invalid members keep rank i (set by the initial rank pass)
           }
           i = j;
         }
@@ -919,7 +983,11 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
 extern "C" {
 
 // codes: u8[n] with values 0..4 (0 = separator '#'); outputs rank[n] and
-// order[n] (int64), identical to kmer_ranks_numpy.
+// order[n] (int64).  Contract vs kmer_ranks_numpy: identical GROUPING of
+// valid windows (equal rank <=> identical k-window) and identical
+// valid-filtered sorted order; rank VALUES and the placement of invalid
+// (separator-crossing) positions may differ in groups that mix valid and
+// invalid members (see the LCP-refinement header comment above).
 void kmer_ranks_native(const uint8_t* codes, int64_t n, int64_t k,
                        int64_t* rank_out, int64_t* order_out) {
   if (n <= 0) return;
