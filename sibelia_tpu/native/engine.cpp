@@ -166,6 +166,92 @@ struct Boost154Map {
 };
 
 // ---------------------------------------------------------------------------
+// mark bitmap: one bit per position, used to iterate bifurcation marks in
+// O(marks + gap/64) instead of O(gap) during branch walks.  The reference
+// walks its unrolled list element-by-element (bulgeremoval.cpp:158-218);
+// at stage depths d up to 15000 that is the engine's dominant cost, and
+// marks are sparse — the bitmap turns detection into a sparse iteration.
+// ---------------------------------------------------------------------------
+
+struct MarkBits {
+    std::vector<u64> w;  // bit per position
+    i64 n;
+
+    void init(i64 count) {
+        n = count;
+        w.assign((size_t)((count + 63) >> 6), 0);
+    }
+    void set(i64 p) { w[(size_t)(p >> 6)] |= (u64)1 << (p & 63); }
+    void clear(i64 p) { w[(size_t)(p >> 6)] &= ~((u64)1 << (p & 63)); }
+    // first set bit at index >= p, or -1
+    i64 next_set(i64 p) const {
+        if (p >= n) return -1;
+        size_t wi = (size_t)(p >> 6);
+        u64 word = w[wi] & (~(u64)0 << (p & 63));
+        while (word == 0) {
+            if (++wi >= w.size()) return -1;
+            word = w[wi];
+        }
+        return ((i64)wi << 6) + __builtin_ctzll(word);
+    }
+    // last set bit at index <= p, or -1
+    i64 prev_set(i64 p) const {
+        if (p < 0) return -1;
+        if (p >= n) p = n - 1;
+        size_t wi = (size_t)(p >> 6);
+        u64 word = w[wi] & (~(u64)0 >> (63 - (p & 63)));
+        while (word == 0) {
+            if (wi == 0) return -1;
+            word = w[--wi];
+        }
+        return ((i64)wi << 6) + 63 - __builtin_clzll(word);
+    }
+    // splice [start, stop) -> new_len positions: clear the span, then
+    // shift bits at >= stop by (new_len - (stop - start)).  Word-level
+    // extract + rewrite: O(suffix/64), far below the caller's O(suffix)
+    // array maintenance.
+    void splice(i64 start, i64 stop, i64 new_len) {
+        i64 delta = new_len - (stop - start);
+        i64 old_n = n;
+        // extract suffix bits [stop, old_n) into a temp, LSB-aligned
+        i64 suffix = old_n - stop;
+        std::vector<u64> tmp((size_t)((suffix + 63) >> 6) + 1, 0);
+        for (i64 i = 0; i < suffix; i += 64) {
+            // read 64 bits starting at stop + i
+            i64 p = stop + i;
+            size_t wi = (size_t)(p >> 6);
+            int off = (int)(p & 63);
+            u64 v = w[wi] >> off;
+            if (off && wi + 1 < w.size()) v |= w[wi + 1] << (64 - off);
+            tmp[(size_t)(i >> 6)] = v;
+        }
+        n = old_n + delta;
+        w.resize((size_t)((n + 63) >> 6), 0);
+        // clear everything from start on
+        {
+            size_t wi = (size_t)(start >> 6);
+            if (wi < w.size()) {
+                w[wi] &= ~(~(u64)0 << (start & 63));
+                for (size_t j = wi + 1; j < w.size(); j++) w[j] = 0;
+            }
+        }
+        // write suffix back at start + new_len
+        i64 dst = start + new_len;
+        for (i64 i = 0; i < suffix; i += 64) {
+            u64 v = tmp[(size_t)(i >> 6)];
+            i64 rem = suffix - i;
+            if (rem < 64) v &= (~(u64)0 >> (64 - rem));
+            if (v == 0) continue;
+            i64 p = dst + i;
+            size_t wi = (size_t)(p >> 6);
+            int off = (int)(p & 63);
+            w[wi] |= v << off;
+            if (off && wi + 1 < w.size()) w[wi + 1] |= v >> (64 - off);
+        }
+    }
+};
+
+// ---------------------------------------------------------------------------
 // engine state
 // ---------------------------------------------------------------------------
 
@@ -176,6 +262,7 @@ struct Engine {
     std::vector<i64> sep_origpos;
     // bifurcation store
     std::vector<std::vector<i64> > bif_at[2];
+    std::vector<MarkBits> mark_bits[2];  // mark presence per (strand, chr)
     std::vector<int8_t> node_strand;
     std::vector<int32_t> node_chr;
     std::vector<i64> node_pos;
@@ -208,6 +295,7 @@ struct Engine {
         node_bif.push_back(bif);
         nodes_of_chr[c].push_back(idx);
         bif_at[strand][c][pos] = idx;
+        mark_bits[strand][c].set(pos);
         lists[strand][bif].push_front(idx);
     }
     void erase_point(int strand, int c, i64 pos) {
@@ -215,6 +303,7 @@ struct Engine {
         if (idx < 0) return;
         i64 bif = node_bif[idx];
         bif_at[strand][c][pos] = -1;
+        mark_bits[strand][c].clear(pos);
         node_bif[idx] = NO_BIF;
         to_clear.push_back(std::make_pair(std::make_pair(strand, bif), idx));
     }
@@ -235,6 +324,7 @@ struct Engine {
             std::vector<i64>& arr = bif_at[strand][c];
             if (delta == 0) {
                 // collapse protocol already erased every mark in the span
+                // (bits too), so the bitmap needs no update here
                 std::fill(arr.begin() + start, arr.begin() + stop, (i64)-1);
             } else if (delta < 0) {
                 arr.erase(arr.begin() + start + new_len, arr.begin() + stop);
@@ -245,6 +335,7 @@ struct Engine {
                 std::fill(arr.begin() + start, arr.begin() + start + new_len,
                           (i64)-1);
             }
+            if (delta != 0) mark_bits[strand][c].splice(start, stop, new_len);
         }
         if (delta != 0) {
             const std::vector<i64>& idxs = nodes_of_chr[c];
@@ -277,15 +368,20 @@ void scan_forward(const Engine& e, int strand, int c, i64 pos, i64 max_steps,
                   std::vector<Mark>& out) {
     out.clear();
     const std::vector<i64>& arr = e.bif_at[strand][c];
+    const MarkBits& bits = e.mark_bits[strand][c];
     if (strand == 0) {
         i64 hi = std::min(pos + max_steps, (i64)arr.size());
-        for (i64 p = pos + 1; p < hi; p++) {
-            if (arr[p] >= 0) { Mark m = {p - pos, arr[p]}; out.push_back(m); }
+        for (i64 p = bits.next_set(pos + 1); p >= 0 && p < hi;
+             p = bits.next_set(p + 1)) {
+            Mark m = {p - pos, arr[p]};
+            out.push_back(m);
         }
     } else {
         i64 lo = std::max(pos - max_steps + 1, (i64)0);
-        for (i64 p = pos - 1; p >= lo; p--) {
-            if (arr[p] >= 0) { Mark m = {pos - p, arr[p]}; out.push_back(m); }
+        for (i64 p = bits.prev_set(pos - 1); p >= lo;
+             p = bits.prev_set(p - 1)) {
+            Mark m = {pos - p, arr[p]};
+            out.push_back(m);
         }
     }
 }
@@ -555,6 +651,8 @@ void* engine_create(int n_chr, const i64* chr_lens,
         e->origpos[c].assign(origpos[c], origpos[c] + chr_lens[c]);
         for (int s = 0; s < 2; s++) {
             e->bif_at[s].push_back(std::vector<i64>((size_t)chr_lens[c], -1));
+            e->mark_bits[s].push_back(MarkBits());
+            e->mark_bits[s].back().init(chr_lens[c]);
         }
     }
     return e;
@@ -588,6 +686,7 @@ void engine_set_bifs(void* handle, i64 max_id,
             e->node_bif.push_back(bifs[s][i]);
             e->nodes_of_chr[chrs[s][i]].push_back(idx);
             e->bif_at[s][chrs[s][i]][coords[s][i]] = idx;
+            e->mark_bits[s][chrs[s][i]].set(coords[s][i]);
             e->lists[s][bifs[s][i]].push_front(idx);
         }
     }
