@@ -23,13 +23,14 @@ everywhere.
 """
 from __future__ import annotations
 
+import functools
 import os
 from dataclasses import dataclass
 
 import numpy as np
 
-from .ranking import (CODE_OF, SEP_CODE, _PAD_BUCKET, encode, kmer_ranks,
-                      kmer_sorted_groups_jax)
+from .ranking import (CODE_OF, SEP_CODE, _PAD_BUCKET, _packed_keys, encode,
+                      kmer_ranks, kmer_sorted_groups_jax)
 
 NO_BIFURCATION = (1 << 32) - 1  # reference: BifurcationId(-1), uint32
 
@@ -73,10 +74,138 @@ def build_supergenome(chromosomes: list[bytes]) -> tuple[np.ndarray, np.ndarray]
     return encode(text), np.asarray(starts, dtype=np.int64)
 
 
+# ---------------------------------------------------------------------------
+# Fully on-device enumeration (the TPU hot path)
+#
+# One stable device sort of the packed key pair delivers positions in
+# k-mer order; the whole group scan — prev/next char sets, the
+# bifurcation rule of vertexenumeration.cpp:67-70/227-245, terminal
+# flags, dense id assignment, and instance selection — then runs as
+# cumsum-based segmented reductions on device, and a final single-key
+# sort packs the selected instances (ascending supergenome position)
+# into a prefix so the host transfers exactly n_sel elements, nothing
+# else.  No host round-trip happens between the sort and the selection.
+# ---------------------------------------------------------------------------
+
+
+def _enum_scan_device(codes, order, start, k: int):
+    """Device group scan over sorted positions.
+
+    codes: uint8[n] supergenome codes; order: int32[n] positions in k-mer
+    sorted order; start: bool[n] group-start flags in sorted order.
+    Returns (pos_sorted, id_sorted, n_sel, n_groups): selected instance
+    positions ascending in the first n_sel slots with their dense bif ids.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n = codes.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+
+    # validity of each sorted position: window crosses no separator
+    idxp = jnp.arange(n, dtype=jnp.int32)
+    sep_idx = jnp.where(codes == SEP_CODE, idxp, jnp.int32(n))
+    next_sep = jnp.flip(jax.lax.cummin(jnp.flip(sep_idx)))
+    valid = (idxp + k) <= next_sep
+    valid_s = jnp.take(valid, order)
+
+    prev_c = jnp.take(codes, jnp.maximum(order - 1, 0))
+    next_c = jnp.take(codes, jnp.minimum(order + k, n - 1))
+
+    # segment bounds in sorted order: sidx = this group's first slot,
+    # eidx = its last slot
+    sidx = jax.lax.cummax(jnp.where(start, iota, 0))
+    nxt_after = jnp.concatenate(
+        [jnp.where(start, iota, jnp.int32(n))[1:], jnp.full((1,), n, jnp.int32)])
+    eidx = jnp.flip(jax.lax.cummin(jnp.flip(nxt_after))) - 1
+
+    def seg_tot(ind):
+        """Per-element total of `ind` over the element's whole segment."""
+        cs = jnp.cumsum(ind.astype(jnp.int32))
+        lo = jnp.where(sidx > 0, jnp.take(cs, jnp.maximum(sidx - 1, 0)), 0)
+        return jnp.take(cs, eidx) - lo
+
+    # bifurcation rule: >1 distinct prev (or next) chars, or '#' present
+    # (vertexenumeration.cpp:67-70); only valid members contribute
+    prev_distinct = jnp.zeros((n,), jnp.int32)
+    next_distinct = jnp.zeros((n,), jnp.int32)
+    prev_has_sep = jnp.zeros((n,), jnp.bool_)
+    next_has_sep = jnp.zeros((n,), jnp.bool_)
+    for b in range(5):
+        pb = seg_tot(valid_s & (prev_c == b)) > 0
+        nb = seg_tot(valid_s & (next_c == b)) > 0
+        prev_distinct += pb.astype(jnp.int32)
+        next_distinct += nb.astype(jnp.int32)
+        if b == SEP_CODE:
+            prev_has_sep = pb
+            next_has_sep = nb
+    bif = ((prev_distinct > 1) | prev_has_sep
+           | (next_distinct > 1) | next_has_sep)
+
+    n_members = seg_tot(valid_s)
+    any_terminal = seg_tot(
+        valid_s & ((prev_c == SEP_CODE) | (next_c == SEP_CODE))) > 0
+    counted = bif & ((n_members > 1) | any_terminal)
+
+    # dense ids over counted groups, in sorted (== lexicographic) order
+    id_cums = jnp.cumsum((start & counted).astype(jnp.int32))
+    ids = id_cums - 1
+    n_groups = id_cums[-1]
+
+    sel = valid_s & counted
+    n_sel = jnp.sum(sel.astype(jnp.int32))
+    # pack selected instances ascending by supergenome position
+    poskey = jnp.where(sel, order, jnp.int32(n))
+    pos_sorted, id_sorted = jax.lax.sort((poskey, ids), num_keys=1,
+                                         is_stable=False)
+    return pos_sorted, id_sorted, n_sel, n_groups
+
+
+import jax as _jax  # ranking (imported above) already pulls jax in
+
+
+@functools.partial(_jax.jit, static_argnums=(1,))
+def _enum_device_k32(codes, k: int):
+    """Fused device enumeration for k <= 32: one 3-key sort + group scan."""
+    import jax
+    import jax.numpy as jnp
+
+    n = codes.shape[0]
+    key1, key2, _ = _packed_keys(codes, k)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    sk1, sk2, order = jax.lax.sort((key1, key2, idx), num_keys=3,
+                                   is_stable=False)
+    start = jnp.concatenate([
+        jnp.ones((1,), jnp.bool_),
+        (sk1[1:] != sk1[:-1]) | (sk2[1:] != sk2[:-1])])
+    return _enum_scan_device(codes, order, start, k)
+
+
 def _empty_enumeration() -> BifEnumeration:
     e = np.zeros(0, dtype=np.int64)
     ei = np.zeros(0, dtype=np.uint32)
     return BifEnumeration(0, (e, e.copy()), (e.copy(), e.copy()), (ei, ei.copy()))
+
+
+def _map_selected(sel: np.ndarray, sel_ids: np.ndarray, count: int,
+                  block_starts: np.ndarray, n_chr: int) -> BifEnumeration:
+    """Map selected supergenome positions + dense ids to the per-strand
+    (chr, pos, id) instance lists sorted by (chr, pos)."""
+    sel_block = np.searchsorted(block_starts, sel, side="right") - 1
+    sel_block = np.clip(sel_block, 0, 2 * n_chr - 1)
+    sel_chr = np.where(sel_block < n_chr, sel_block, sel_block - n_chr)
+    sel_local = sel - block_starts[sel_block]
+    sel_neg = sel_block >= n_chr
+
+    out_chr, out_pos, out_id = [], [], []
+    for strand_neg in (False, True):
+        m = sel_neg == strand_neg
+        c, p, i = sel_chr[m], sel_local[m], sel_ids[m]
+        srt = np.lexsort((p, c))
+        out_chr.append(c[srt])
+        out_pos.append(p[srt])
+        out_id.append(i[srt])
+    return BifEnumeration(count, tuple(out_chr), tuple(out_pos), tuple(out_id))
 
 
 def enumerate_bifurcations(chromosomes: list[bytes], k: int) -> BifEnumeration:
@@ -89,13 +218,9 @@ def enumerate_bifurcations(chromosomes: list[bytes], k: int) -> BifEnumeration:
 
     # host fast path: the whole ranking + group scan in one native call
     # (identical outputs; see native/ranking.cpp)
-    import jax as _jax
-    try:
-        _backend = _jax.default_backend()
-    except Exception:
-        _backend = "cpu"
-    _force_dev = os.environ.get("SIBELIA_TPU_FORCE_DEVICE_ENUM") == "1"
-    if _backend == "cpu" and not _force_dev and n >= (1 << 16):
+    from ..core.platform import device_dispatch
+    _use_dev = device_dispatch()
+    if not _use_dev and n >= (1 << 16):
         from ..native import enumerate_native
         res = enumerate_native(codes, block_starts, n_chr, k)
         if res is not None:
@@ -116,33 +241,23 @@ def enumerate_bifurcations(chromosomes: list[bytes], k: int) -> BifEnumeration:
 
     # Keep only candidate positions; groups are all-candidate or all-dropped
     # (a '#'-free k-mer fits inside its chromosome; see module docstring).
-    if (_backend != "cpu" or _force_dev) and k <= 32:
-        # device fast path: the fused single-sort kernel delivers sorted
-        # positions, group ids and neighbor codes in one dispatch
+    if _use_dev and k <= 32:
+        # device fast path: the whole enumeration (sort + group scan +
+        # selection) runs in one fused dispatch; only the selected
+        # instances are transferred back
         import jax.numpy as jnp
         pad_to = -(-n // _PAD_BUCKET) * _PAD_BUCKET
         codes_p = codes if pad_to == n else np.concatenate(
             [codes, np.zeros(pad_to - n, dtype=codes.dtype)])
-        order_d, gid_d, pc_d, nc_d = kmer_sorted_groups_jax(
+        pos_d, id_d, n_sel_d, n_groups_d = _enum_device_k32(
             jnp.asarray(codes_p), k)
-        order = np.asarray(order_d).astype(np.int64)
-        gid = np.asarray(gid_d)
-        prev_codes = np.asarray(pc_d)
-        next_code = np.asarray(nc_d)
-        if pad_to != n:
-            m0 = order < n
-            order, gid = order[m0], gid[m0]
-            prev_codes, next_code = prev_codes[m0], next_code[m0]
-        keep_mask = valid[order]
-        keep = order[keep_mask]
-        if keep.size == 0:
+        ns = int(n_sel_d)
+        count = int(n_groups_d)
+        if ns == 0:
             return _empty_enumeration()
-        g = gid[keep_mask]
-        prev_codes = prev_codes[keep_mask]
-        next_code = next_code[keep_mask]
-        group_start_mask = np.empty(keep.size, dtype=bool)
-        group_start_mask[0] = True
-        group_start_mask[1:] = g[1:] != g[:-1]
+        sel = np.asarray(pos_d[:ns]).astype(np.int64)
+        sel_ids = np.asarray(id_d[:ns]).astype(np.uint32)
+        return _map_selected(sel, sel_ids, count, block_starts, n_chr)
     else:
         rank, order = kmer_ranks(codes, k)
         keep = order[valid[order]]
@@ -182,22 +297,7 @@ def enumerate_bifurcations(chromosomes: list[bytes], k: int) -> BifEnumeration:
     pos_counted = counted[group_of_keep]
     sel = keep[pos_counted]
     sel_ids = ids_per_group[group_of_keep[pos_counted]].astype(np.uint32)
-    # block/chrom/local only for the selected positions
-    sel_block = np.searchsorted(block_starts, sel, side="right") - 1
-    sel_block = np.clip(sel_block, 0, 2 * n_chr - 1)
-    sel_chr = np.where(sel_block < n_chr, sel_block, sel_block - n_chr)
-    sel_local = sel - block_starts[sel_block]
-    sel_neg = sel_block >= n_chr
-
-    out_chr, out_pos, out_id = [], [], []
-    for strand_neg in (False, True):
-        m = sel_neg == strand_neg
-        c, p, i = sel_chr[m], sel_local[m], sel_ids[m]
-        srt = np.lexsort((p, c))
-        out_chr.append(c[srt])
-        out_pos.append(p[srt])
-        out_id.append(i[srt])
-    return BifEnumeration(count, tuple(out_chr), tuple(out_pos), tuple(out_id))
+    return _map_selected(sel, sel_ids, count, block_starts, n_chr)
 
 
 def enumerate_bifurcations_oracle(chromosomes: list[bytes], k: int) -> BifEnumeration:

@@ -313,14 +313,12 @@ def kmer_ranks(codes: np.ndarray, k: int):
     n = int(codes.shape[0])
     if n < _NUMPY_THRESHOLD:
         return kmer_ranks_numpy(codes, k)
-    try:
-        backend = jax.default_backend()
-    except Exception:
-        backend = "cpu"
-    if backend == "cpu":
+    from ..core.platform import device_dispatch
+    if not device_dispatch():
         # host path: the native C++ kernel (pair-scatter radix + active-set
         # doubling) is ~4-5x numpy, which in turn beats single-threaded
-        # XLA CPU sort; the jax path pays off only on an accelerator
+        # XLA CPU sort; the jax path pays off only on a locally attached
+        # accelerator (a tunneled chip loses on transfer alone)
         from ..native import kmer_ranks_native
         res = kmer_ranks_native(codes, k)
         if res is not None:
