@@ -1,17 +1,28 @@
 """Variant calling between two genomes (C-Sibelia capability).
 
-Semantics-exact port of the reference driver (reference:
-src/csibelia/C-Sibelia.py): classify final-stage synteny blocks into
-unique pairs vs repeats, align unique pairs, diff alignment columns into
-variants with 30-bp context hysteresis and VCF anchor shifting, and turn
-uncovered regions into long indels / insertions / breakends. The LAGAN
+Capability twin of the reference driver (reference:
+src/csibelia/C-Sibelia.py), built as array programs: the alignment
+column diff is a vectorized run-length scan with the 30-bp context
+hysteresis applied over runs (not per-column Python), coverage masks are
+numpy arrays with run extraction by flat-index diffs, and the LAGAN
 subprocess fan-out (C-Sibelia.py:279-292,349-361) is replaced by the
 in-process anchored alignment engine (variants/aligner.py).
+
+Behavioral contracts preserved for byte parity with the reference VCF
+(semantics cited per function): unique-block classification
+(C-Sibelia.py:314-323), the mismatch-segment hysteresis and VCF
+anchor-base shift (:206-252), coverage-gap long indels / anchored
+insertions / breakends (:374-427), and the py2 dict iteration order
+where it decides output order.
 """
 from __future__ import annotations
 
 import collections
+import os
 import re
+from dataclasses import dataclass
+
+import numpy as np
 
 from ..io.fasta import reverse_complement
 from .aligner import align_multiple, align_pair
@@ -20,6 +31,7 @@ COVER = 1
 UNCOVER = 0
 LINE_LENGTH = 60
 MINIMUM_CONTEXT_SIZE = 30
+_GAP = ord("-")
 
 FastaRecord = collections.namedtuple("FastaRecord", ["seq", "description", "id"])
 SyntenyBlock = collections.namedtuple(
@@ -28,90 +40,126 @@ AlignmentRecord = collections.namedtuple("AlignmentRecord", ["body", "block_inst
 
 
 def parse_fasta_file(file_name: str) -> list[FastaRecord]:
-    """reference: C-Sibelia.py:98-116 (header kept whole; id = first token)."""
+    """Whole-header FASTA reader; id = first header token (the reference
+    driver keeps the full description, unlike the Sibelia binary's
+    reader — C-Sibelia.py:98-116)."""
+    records: list[FastaRecord] = []
+    header: str | None = None
+    chunks: list[str] = []
+
+    def flush():
+        if header is not None:
+            records.append(FastaRecord(seq="".join(chunks), description=header,
+                                       id=header.split()[0]))
+
     with open(file_name) as handle:
-        line = [ln.strip() for ln in handle if ln.strip() != ""]
-    record = []
-    i = 0
-    while i < len(line):
-        if line[i][0] == ">":
-            j = i + 1
-            while j < len(line) and line[j][0] != ">":
-                j += 1
-            seq = "".join(line[i + 1:j])
-            description = line[i][1:].strip()
-            seq_id = description.split()[0]
-            record.append(FastaRecord(seq=seq, description=description, id=seq_id))
-            i = j
-        else:
-            i += 1
-    return record
+        for raw in handle:
+            ln = raw.strip()
+            if not ln:
+                continue
+            if ln.startswith(">"):
+                flush()
+                header, chunks = ln[1:].strip(), []
+            elif header is not None:
+                chunks.append(ln)
+    flush()
+    return records
 
 
 def strip_chr_id(chr_id: str) -> str:
-    part = chr_id.split("|")
-    if len(part) == 5:
-        return part[-2].split(".")[0]
+    """NCBI `gi|…|ref|ACC.V|` ids reduce to the bare accession."""
+    fields = chr_id.split("|")
+    if len(fields) == 5:
+        return fields[3].split(".")[0]
     return chr_id
 
 
-def parse_blocks_coords(blocks_file: str, genome: list[FastaRecord]):
-    """reference: C-Sibelia.py:43-82."""
-    group: list[list[str]] = [[]]
-    num_seq_id: dict[str, str] = {}
-    num_seq_size: dict[int, int] = {}
-    with open(blocks_file) as f:
-        lines = [ln.strip() for ln in f if ln.strip()]
-    for ln in lines:
-        if ln[0] == "-":
-            group.append([])
-        else:
-            group[-1].append(ln)
-    for ln in group[0][1:]:
-        parts = ln.split()
-        num_seq_id[parts[0]] = parts[2]
-        num_seq_size[int(parts[0])] = int(parts[1])
-    ret: dict[int, list[SyntenyBlock]] = {}
-    for g in [g for g in group[1:] if g]:
-        block_id = int(g[0].split()[1][1:])
-        ret[block_id] = []
-        for ln in g[2:]:
-            parts = ln.split()
-            chr_id = num_seq_id[parts[0]]
-            start = int(parts[2])
-            end = int(parts[3])
-            chr_num = int(parts[0])
-            strand = parts[1]
-            if strand == "+":
-                true_start = start - 1
-                true_end = end
+def _split_sections(path: str) -> list[list[str]]:
+    """Split a blocks_coords file into dash-separated sections of
+    non-empty stripped lines."""
+    sections: list[list[str]] = [[]]
+    with open(path) as handle:
+        for raw in handle:
+            ln = raw.strip()
+            if not ln:
+                continue
+            if ln.startswith("-"):
+                sections.append([])
             else:
-                true_start = end - 1
-                true_end = start
-            seq = genome[chr_num - 1].seq[true_start:true_end]
+                sections[-1].append(ln)
+    return sections
+
+
+def parse_blocks_coords(blocks_file: str, genome: list[FastaRecord]):
+    """Parse one blocks_coords*.txt into {block_id: [SyntenyBlock]}.
+
+    Layout (as written by io/writers.py and the reference alike): a
+    chromosome table (Seq_id / Size / Description), then one section per
+    block with a "Block #N" caption, a column-header row, and one row per
+    instance. Instance coordinates are 1-based and strand-conventional:
+    a '-' row has start > end, and its sequence is the reverse complement
+    of genome[chr][end-1:start] (reference: C-Sibelia.py:43-82)."""
+    sections = _split_sections(blocks_file)
+    chr_desc: dict[int, str] = {}
+    chr_size: dict[int, int] = {}
+    for row in sections[0][1:]:
+        num_s, size_s, desc = row.split()[:3]
+        chr_desc[int(num_s)] = desc
+        chr_size[int(num_s)] = int(size_s)
+
+    blocks: dict[int, list[SyntenyBlock]] = {}
+    for sec in sections[1:]:
+        if not sec:
+            continue
+        block_id = int(sec[0].split("#")[1])
+        instances: list[SyntenyBlock] = []
+        for row in sec[2:]:
+            num_s, strand, start_s, end_s = row.split()[:4]
+            num, start, end = int(num_s), int(start_s), int(end_s)
+            lo, hi = (start - 1, end) if strand == "+" else (end - 1, start)
+            body = genome[num - 1].seq[lo:hi]
             if strand == "-":
-                seq = reverse_complement(seq)
-            ret[block_id].append(SyntenyBlock(
-                seq=seq, chr_id=chr_id, strand=strand, id=block_id, start=start,
-                end=end, chr_num=chr_num, chr_size=num_seq_size[chr_num]))
-    return ret
+                body = reverse_complement(body)
+            instances.append(SyntenyBlock(
+                seq=body, chr_id=chr_desc[num], strand=strand, id=block_id,
+                start=start, end=end, chr_num=num, chr_size=chr_size[num]))
+        blocks[block_id] = instances
+    return blocks
 
 
+def _dot(value, upper: bool = False):
+    if value is None:
+        return "."
+    return value.upper() if upper else value
+
+
+@dataclass
 class Variant:
-    """reference: C-Sibelia.py:132-180."""
+    """One called variant; '.'-normalized fields ready for VCF emission.
 
-    def __init__(self, reference_chr_id, reference_pos, contig_id, assembly_pos,
-                 reference_allele, assembly_allele, reference_context,
-                 assembly_context, synteny_block_id):
-        self.reference_chr_id = "." if reference_chr_id is None else reference_chr_id
-        self.reference_pos = "." if reference_pos is None else reference_pos
-        self.contig_id = str(contig_id)
-        self.assembly_pos = assembly_pos
-        self.reference_allele = "." if reference_allele is None else reference_allele.upper()
-        self.assembly_allele = "." if assembly_allele is None else assembly_allele.upper()
-        self.reference_context = "." if reference_context is None else reference_context.upper()
-        self.assembly_context = "." if assembly_context is None else assembly_context.upper()
-        self.synteny_block_id = "." if synteny_block_id is None else synteny_block_id
+    Field meanings follow VCF 4.1 (reference_pos is the anchored POS;
+    alleles are upper-cased; context fields carry the ±30bp flanks used
+    by the debug dump)."""
+
+    reference_chr_id: object
+    reference_pos: object
+    contig_id: object
+    assembly_pos: object
+    reference_allele: object
+    assembly_allele: object
+    reference_context: object
+    assembly_context: object
+    synteny_block_id: object
+
+    def __post_init__(self):
+        self.reference_chr_id = _dot(self.reference_chr_id)
+        self.reference_pos = _dot(self.reference_pos)
+        self.contig_id = str(self.contig_id)
+        self.reference_allele = _dot(self.reference_allele, upper=True)
+        self.assembly_allele = _dot(self.assembly_allele, upper=True)
+        self.reference_context = _dot(self.reference_context, upper=True)
+        self.assembly_context = _dot(self.assembly_context, upper=True)
+        self.synteny_block_id = _dot(self.synteny_block_id)
 
     def __str__(self):
         return "\t".join([str(self.reference_pos), self.reference_allele,
@@ -120,120 +168,141 @@ class Variant:
                           self.assembly_context])
 
     def get_vcf_record(self):
-        data = [strip_chr_id(self.reference_chr_id), str(self.reference_pos),
-                ".", self.reference_allele, self.assembly_allele, ".", ".", "."]
-        return "\t".join(data)
+        return "\t".join([strip_chr_id(self.reference_chr_id),
+                          str(self.reference_pos), ".", self.reference_allele,
+                          self.assembly_allele, ".", ".", "."])
 
 
 def no_gaps(sequence: str) -> str:
     return sequence.replace("-", "")
 
 
+def _hysteresis_segments(match: np.ndarray) -> list[tuple[int, int, bool]]:
+    """Run-length segments of the match mask with the reference's 30-bp
+    hysteresis: an interior match run shorter than MINIMUM_CONTEXT_SIZE
+    (and not anchored at column 0) is absorbed, fusing its two flanking
+    mismatch runs into one segment; the final run is kept as-is
+    (reference semantics: C-Sibelia.py:206-233).
+
+    Returns (start, end, is_match) with half-open column ranges."""
+    n = int(match.size)
+    if n == 0:
+        return []
+    flips = np.flatnonzero(match[1:] != match[:-1]) + 1
+    run_starts = np.concatenate([np.zeros(1, np.int64), flips])
+    run_ends = np.concatenate([flips, np.full(1, n, np.int64)])
+
+    segments: list[tuple[int, int, bool]] = []
+    seg_start = 0
+    n_runs = run_starts.size
+    for r in range(n_runs):
+        end = int(run_ends[r])
+        is_match = bool(match[run_starts[r]])
+        if r == n_runs - 1:
+            segments.append((seg_start, end, is_match))
+        elif not is_match:
+            segments.append((seg_start, end, is_match))
+            seg_start = end
+        elif end - seg_start >= MINIMUM_CONTEXT_SIZE or seg_start == 0:
+            segments.append((seg_start, end, is_match))
+            seg_start = end
+        elif segments:
+            # absorb: resume accumulating from the previous (mismatch)
+            # segment's start; the fused region lands in the next append
+            seg_start = segments.pop()[0]
+    return segments
+
+
+def _flank(row: str, segment: tuple[int, int, bool], left: bool) -> str:
+    """Context flank from a neighboring segment: its trailing (left=True)
+    or leading columns, at most MINIMUM_CONTEXT_SIZE, raw (gaps kept)."""
+    start, end, _ = segment
+    span = min(end - start, MINIMUM_CONTEXT_SIZE)
+    return row[end - span:end] if left else row[start:start + span]
+
+
 def get_context(alignment, alignment_segment, segment_index):
-    """reference: C-Sibelia.py:185-204."""
-    context = []
-    if segment_index > 0:
-        segment = alignment_segment[segment_index - 1]
-        start = segment[1] - min(segment[1] - segment[0], MINIMUM_CONTEXT_SIZE)
-        context.append(alignment[0][start:segment[1]])
-    else:
-        context.append("")
-    if segment_index + 1 < len(alignment_segment):
-        segment = alignment_segment[segment_index + 1]
-        end = segment[0] + min(segment[1] - segment[0], MINIMUM_CONTEXT_SIZE)
-        context.append(alignment[0][segment[0]:end])
-    else:
-        context.append("")
-    segment = alignment_segment[segment_index]
-    reference_context = context[0] + no_gaps(alignment[0][segment[0]:segment[1]]) + context[1]
-    assembly_context = context[0] + no_gaps(alignment[1][segment[0]:segment[1]]) + context[1]
-    return reference_context, assembly_context
+    """±30-column context around a segment: raw flank columns from the
+    neighboring segments plus the de-gapped segment body, per row."""
+    segs = alignment_segment
+    seg = segs[segment_index]
+    left = _flank(alignment[0], segs[segment_index - 1], True) \
+        if segment_index > 0 else ""
+    right = _flank(alignment[0], segs[segment_index + 1], False) \
+        if segment_index + 1 < len(segs) else ""
+    start, end = seg[0], seg[1]
+    return (left + no_gaps(alignment[0][start:end]) + right,
+            left + no_gaps(alignment[1][start:end]) + right)
 
 
 def parse_alignment(alignment, reference_chr_id, synteny_block_id, contig_id,
                     reference_start, reference_direction):
-    """reference: C-Sibelia.py:206-252 (alignment passed in-memory)."""
-    last_match = None
-    start_position = None
-    alignment_segment: list[list] = []
-    for now_position, symbol in enumerate(zip(alignment[0], alignment[1])):
-        now_match = symbol[0] == symbol[1]
-        if last_match is None:
-            last_match = now_match
-            start_position = 0
-        elif last_match != now_match:
-            if (last_match is False or now_position - start_position >= MINIMUM_CONTEXT_SIZE
-                    or start_position == 0):
-                alignment_segment.append([start_position, now_position, last_match])
-                start_position = now_position
-            elif alignment_segment:
-                start_position = alignment_segment[-1][0]
-                del alignment_segment[-1]
-            last_match = now_match
+    """Diff two alignment rows into Variants (vectorized column scan).
 
-    alignment_segment.append([start_position, len(alignment[0]), last_match])
-    position = reference_start
-    reference_position_map = []
-    for symbol in alignment[0]:
-        reference_position_map.append(position)
-        position += reference_direction if symbol != "-" else 0
+    Per mismatch segment: POS anchors one reference base to the left
+    (VCF convention) except for pure SNPs and segments starting at
+    column 0; alleles are de-gapped segment bodies, reverse-complemented
+    when the reference instance is on the '-' strand
+    (semantics: C-Sibelia.py:206-252)."""
+    row0, row1 = alignment[0], alignment[1]
+    a0 = np.frombuffer(row0.encode(), np.uint8)
+    a1 = np.frombuffer(row1.encode(), np.uint8)
+    segments = _hysteresis_segments(a0 == a1)
 
-    variant = []
-    for segment_index, segment in enumerate(alignment_segment):
-        start, end, match = segment
-        if match is False:
-            shift = 1
-            variant_reference_start = reference_position_map[start]
-            reference_context, assembly_context = get_context(
-                alignment, alignment_segment, segment_index)
-            snp = (end - start == 1 and alignment[0][start] != "-"
-                   and alignment[1][start] != "-")
-            if start == 0 or snp:
-                shift = 0
-            reference_allele = no_gaps(alignment[0][start - shift:end])
-            assembly_allele = no_gaps(alignment[1][start - shift:end])
-            if reference_direction == -1:
-                reference_allele = reverse_complement(reference_allele)
-                assembly_allele = reverse_complement(assembly_allele)
-            variant.append(Variant(reference_chr_id, variant_reference_start - shift,
-                                   contig_id, None, reference_allele, assembly_allele,
-                                   reference_context, assembly_context,
-                                   synteny_block_id))
-    return variant
+    # reference coordinate entering each column: reference_start advanced
+    # by one per preceding non-gap reference column (signed by direction)
+    consumed = np.cumsum(a0 != _GAP) - (a0 != _GAP)
+    ref_at = reference_start + reference_direction * consumed
+
+    variants: list[Variant] = []
+    for index, (start, end, is_match) in enumerate(segments):
+        if is_match:
+            continue
+        is_snp = (end - start == 1
+                  and a0[start] != _GAP and a1[start] != _GAP)
+        shift = 0 if (start == 0 or is_snp) else 1
+        ref_allele = no_gaps(row0[start - shift:end])
+        asm_allele = no_gaps(row1[start - shift:end])
+        if reference_direction == -1:
+            ref_allele = reverse_complement(ref_allele)
+            asm_allele = reverse_complement(asm_allele)
+        ref_ctx, asm_ctx = get_context(alignment, segments, index)
+        variants.append(Variant(reference_chr_id, int(ref_at[start]) - shift,
+                                contig_id, None, ref_allele, asm_allele,
+                                ref_ctx, asm_ctx, synteny_block_id))
+    return variants
 
 
-def find_instance(instance_list, reference_seq_id, in_reference):
-    for instance in instance_list:
-        if (instance.chr_id in reference_seq_id) == in_reference:
-            return instance
-    return None
-
-
-def get_size(record):
+def get_size(record) -> int:
     return abs(record.end - record.start) + 1
 
 
 def determine_unique_block(instance_list, reference_seq, min_block_size):
-    """reference: C-Sibelia.py:314-323."""
-    if len(instance_list) == 2:
-        reference_instance = find_instance(instance_list, reference_seq.keys(), True)
-        assembly_instance = find_instance(instance_list, reference_seq.keys(), False)
-        if reference_instance is not None and assembly_instance is not None:
-            if (get_size(reference_instance) >= min_block_size
-                    and get_size(assembly_instance) >= min_block_size):
-                return reference_instance, assembly_instance
-    return None, None
+    """A block is a unique pair iff it has exactly two instances, one per
+    genome, both at least min_block_size long; returns them ordered
+    (reference instance, assembly instance) or (None, None)
+    (semantics: C-Sibelia.py:314-323)."""
+    if len(instance_list) != 2:
+        return None, None
+    ref_ids = reference_seq.keys()
+    ref_inst = next((x for x in instance_list if x.chr_id in ref_ids), None)
+    asm_inst = next((x for x in instance_list if x.chr_id not in ref_ids), None)
+    if ref_inst is None or asm_inst is None:
+        return None, None
+    if min(get_size(ref_inst), get_size(asm_inst)) < min_block_size:
+        return None, None
+    return ref_inst, asm_inst
 
 
 def process_block(block):
-    """reference: C-Sibelia.py:274-309, with in-process aligners.
+    """Align one block's instances and, for unique pairs, diff the rows
+    into variants (reference: C-Sibelia.py:274-309, in-process aligners).
 
     Unique pairs default to the exact LAGAN engine (byte-identical to
     ``lagan.pl -mfa``; align/lagan_exact.py).  SIBELIA_TPU_ALIGNER=fast
     selects the anchored-Gotoh engine instead, and with it
     SIBELIA_TPU_DEVICE_ALIGN=1 routes gap subproblems through the batched
     device kernel (identical to the fast host path)."""
-    import os
     unique, synteny_block_id, instance_list = block
     if unique:
         ref_inst, asm_inst = instance_list
@@ -293,20 +362,75 @@ def process_block(block):
 
 
 def depict_coverage(block_seq, reference_seq, assembly_seq, base_cover):
-    """reference: C-Sibelia.py:325-338."""
+    """Paint per-base coverage masks (one int array per sequence) with
+    the ids of blocks present in both genomes; later stages overwrite
+    earlier ones on the shared array (semantics: C-Sibelia.py:325-338)."""
     if base_cover is None:
         base_cover = {}
         for seq_group in (reference_seq, assembly_seq):
             for seq_id, seq in seq_group.items():
-                base_cover[seq_id] = [UNCOVER for _ in seq]
+                base_cover[seq_id] = np.full(len(seq), UNCOVER, dtype=np.int64)
     for block_id, instance_list in block_seq.items():
-        reference = [inst for inst in instance_list if inst.chr_id in reference_seq]
-        if reference and len(reference) < len(instance_list):
+        n_ref = sum(1 for inst in instance_list if inst.chr_id in reference_seq)
+        if 0 < n_ref < len(instance_list):
             for instance in instance_list:
-                start = min(instance.start, instance.end) - 1
-                end = max(instance.start, instance.end)
-                base_cover[instance.chr_id][start:end] = [block_id] * (end - start)
+                lo = min(instance.start, instance.end) - 1
+                hi = max(instance.start, instance.end)
+                base_cover[instance.chr_id][lo:hi] = block_id
     return base_cover
+
+
+def _uncovered_runs(cover: np.ndarray) -> list[tuple[int, int]]:
+    """Half-open [start, end) runs where cover == UNCOVER."""
+    bare = np.concatenate([np.zeros(1, np.int8),
+                           (cover == UNCOVER).astype(np.int8),
+                           np.zeros(1, np.int8)])
+    step = np.diff(bare)
+    return list(zip(np.flatnonzero(step == 1).tolist(),
+                    np.flatnonzero(step == -1).tolist()))
+
+
+def _assembly_gap_variant(seq_id, start, end, assembly_seq, reference_seq,
+                          main_cover, block_seq, min_block_size):
+    """An uncovered assembly span is an insertion. It anchors into the
+    reference right after (strand-dependently) the nearest preceding
+    unique block when one exists and the anchor base is in range;
+    otherwise it is unplaced (semantics: C-Sibelia.py:382-408).
+    Returns (variant, anchored)."""
+    asm_allele = assembly_seq[seq_id][start:end]
+    chr_id = None
+    pos = None
+    ref_allele = None
+    if start > 0:
+        left_block = int(main_cover[seq_id][start - 1])
+        if left_block != UNCOVER:
+            ref_inst, asm_inst = determine_unique_block(
+                block_seq[left_block], reference_seq, min_block_size)
+            if ref_inst is not None:
+                if ref_inst.strand == asm_inst.strand:
+                    pos = max(ref_inst.start, ref_inst.end)
+                else:
+                    pos = min(ref_inst.start, ref_inst.end) - 1
+                if pos > 0:
+                    anchor = reference_seq[ref_inst.chr_id][pos - 1]
+                    ref_allele = anchor
+                    asm_allele = anchor + asm_allele
+                    chr_id = ref_inst.chr_id
+                else:
+                    pos = None
+    v = Variant(chr_id, pos, seq_id, start, ref_allele, asm_allele,
+                ref_allele, asm_allele, None)
+    return v, pos is not None
+
+
+def _reference_gap_variant(seq_id, start, end, reference_seq):
+    """An uncovered reference span is a deletion, anchored one base left
+    when possible (semantics: C-Sibelia.py:410-415)."""
+    anchor = reference_seq[seq_id][start - 1] if start > 0 else ""
+    ref_allele = anchor + reference_seq[seq_id][start:end]
+    asm_allele = anchor if anchor else None
+    return Variant(seq_id, start, None, None, ref_allele, asm_allele,
+                   ref_allele, asm_allele, None)
 
 
 def _coords_key(file_name):
@@ -315,23 +439,23 @@ def _coords_key(file_name):
 
 def call_variants(directory, genomes, reference_seq, assembly_seq,
                   min_block_size, align=False):
-    """reference: C-Sibelia.py:343-427."""
-    import os
+    """Classify final-stage blocks, align and diff unique pairs, then
+    turn spans uncovered across ALL stages into long indels / insertions
+    (reference: C-Sibelia.py:343-427)."""
     coords_re = re.compile(r"blocks_coords[0-9]*\.txt")
-    coords_files = [f for f in os.listdir(directory) if coords_re.match(f)]
-    coords_files.sort(key=_coords_key)
+    coords_files = sorted((f for f in os.listdir(directory)
+                           if coords_re.match(f)), key=_coords_key)
     blocks_coords = [parse_blocks_coords(os.path.join(directory, f), genomes)
                      for f in coords_files]
 
     annotated_block = []
     for synteny_block_id, instance_list in blocks_coords[-1].items():
         unique = False
-        if len(instance_list) == 2:
-            ref_inst, asm_inst = determine_unique_block(
-                instance_list, reference_seq, min_block_size)
-            if ref_inst is not None:
-                unique = True
-                instance_list = [ref_inst, asm_inst]
+        ref_inst, asm_inst = determine_unique_block(
+            instance_list, reference_seq, min_block_size)
+        if ref_inst is not None:
+            unique = True
+            instance_list = [ref_inst, asm_inst]
         annotated_block.append((unique, synteny_block_id, instance_list))
 
     variant: list[Variant] = []
@@ -346,58 +470,24 @@ def call_variants(directory, genomes, reference_seq, assembly_seq,
         all_cover = depict_coverage(stage, reference_seq, assembly_seq, all_cover)
     block_seq = blocks_coords[-1]
     main_cover = depict_coverage(block_seq, reference_seq, assembly_seq, None)
+
     insertion: list[Variant] = []
     # reference: C-Sibelia.py:380 iterates the py2 dict; the order decides
     # breakend numbering and equal-(chr,pos) stable-sort ties
     from ..core.py2_dict import py2_dict_key_order
     for seq_id in py2_dict_key_order(list(all_cover.keys())):
-        cover = all_cover[seq_id]
-        i = 0
-        while i < len(cover):
-            if cover[i] == UNCOVER:
-                start = i
-                while i < len(cover) and cover[i] == UNCOVER:
-                    i += 1
-                end = i
-                if end - start > min_block_size:
-                    if seq_id not in reference_seq:
-                        reference_chr_id = None
-                        reference_pos = None
-                        reference_allele = None
-                        assembly_allele = assembly_seq[seq_id][start:end]
-                        if start > 0:
-                            prev_block_id = main_cover[seq_id][start - 1]
-                            if prev_block_id != UNCOVER:
-                                instance_list = block_seq[prev_block_id]
-                                ref_inst, asm_inst = determine_unique_block(
-                                    instance_list, reference_seq, min_block_size)
-                                if ref_inst is not None:
-                                    if ref_inst.strand == asm_inst.strand:
-                                        reference_pos = max(ref_inst.start, ref_inst.end)
-                                    else:
-                                        reference_pos = min(ref_inst.start, ref_inst.end) - 1
-                                    chr_id = ref_inst.chr_id
-                                    if reference_pos > 0:
-                                        common_char = reference_seq[chr_id][reference_pos - 1]
-                                        reference_allele = common_char
-                                        assembly_allele = common_char + assembly_allele
-                                        reference_chr_id = chr_id
-                                    else:
-                                        reference_pos = None
-                        variant_type = insertion if reference_pos is None else variant
-                        variant_type.append(Variant(
-                            reference_chr_id, reference_pos, seq_id, start,
-                            reference_allele, assembly_allele,
-                            reference_allele, assembly_allele, None))
-                    else:
-                        common_char = reference_seq[seq_id][start - 1] if start > 0 else ""
-                        assembly_allele = common_char if common_char else None
-                        reference_allele = common_char + reference_seq[seq_id][start:end]
-                        variant.append(Variant(seq_id, start, None, None,
-                                               reference_allele, assembly_allele,
-                                               reference_allele, assembly_allele, None))
+        in_reference = seq_id in reference_seq
+        for start, end in _uncovered_runs(all_cover[seq_id]):
+            if end - start <= min_block_size:
+                continue
+            if in_reference:
+                variant.append(_reference_gap_variant(
+                    seq_id, start, end, reference_seq))
             else:
-                i += 1
+                v, anchored = _assembly_gap_variant(
+                    seq_id, start, end, assembly_seq, reference_seq,
+                    main_cover, block_seq, min_block_size)
+                (variant if anchored else insertion).append(v)
 
     return variant, insertion, alignment
 
@@ -405,11 +495,8 @@ def call_variants(directory, genomes, reference_seq, assembly_seq,
 # -- output writers ---------------------------------------------------------
 
 def _write_wrapped(text, handle):
-    pos = 0
-    while pos < len(text):
-        end = min(pos + LINE_LENGTH, len(text))
-        handle.write(text[pos:end] + "\n")
-        pos = end
+    for pos in range(0, len(text), LINE_LENGTH):
+        handle.write(text[pos:pos + LINE_LENGTH] + "\n")
 
 
 def write_vcf_header(reference, handle):
