@@ -51,6 +51,10 @@ def load() -> ctypes.CDLL | None:
     lib.engine_simplify.restype = ctypes.c_int64
     lib.engine_simplify.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                     ctypes.c_int64, ctypes.c_int64]
+    lib.engine_simplify_sparse.restype = ctypes.c_int64
+    lib.engine_simplify_sparse.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64]
     lib.engine_chr_len.restype = ctypes.c_int64
     lib.engine_chr_len.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.engine_get_chr.restype = None
@@ -78,11 +82,18 @@ def radix_argsort(keys: np.ndarray) -> np.ndarray | None:
 
 
 def simplify_native(seq, enum, k: int, min_branch: int,
-                    max_iterations: int) -> int | None:
+                    max_iterations: int,
+                    candidates: np.ndarray | None = None) -> int | None:
     """Run the full simplification stage natively. `seq` is a
     MutableSequence (mutated in place on success); `enum` a BifEnumeration.
     Returns the bulge count, or None if the native engine is unavailable.
-    """
+
+    Runs the sparse sweep driver (identical output to the dense loop;
+    engine.cpp:engine_simplify_sparse): iteration 1 visits `candidates`
+    (uint8[count] bitmap, e.g. computed on device during enumeration) or
+    the parallel host prefilter, later iterations only the ids flagged by
+    collapse side-effect tracking. SIBELIA_TPU_DENSE_SIMPLIFY=1 forces
+    the dense reference loop for A/B checks."""
     lib = load()
     if lib is None:
         return None
@@ -112,7 +123,18 @@ def simplify_native(seq, enum, k: int, min_branch: int,
             handle, enum.count,
             len(c0), c0.ctypes.data, p0.ctypes.data, b0.ctypes.data,
             len(c1), c1.ctypes.data, p1.ctypes.data, b1.ctypes.data)
-        ret = lib.engine_simplify(handle, k, min_branch, max_iterations)
+        if os.environ.get("SIBELIA_TPU_DENSE_SIMPLIFY") == "1":
+            ret = lib.engine_simplify(handle, k, min_branch, max_iterations)
+        else:
+            cand_ptr = None
+            if candidates is not None:
+                cand = np.ascontiguousarray(candidates, dtype=np.uint8)
+                if cand.size != enum.count:
+                    raise ValueError("candidate bitmap size != vertex count")
+                cand_ptr = cand.ctypes.data
+            ret = lib.engine_simplify_sparse(
+                handle, k, min_branch, max_iterations, cand_ptr,
+                0 if candidates is None else enum.count)
         for c in range(n_chr):
             ln = lib.engine_chr_len(handle, c)
             chars = np.empty(ln, dtype=np.uint8)

@@ -17,10 +17,15 @@
 //   stage loop                       src/blockfinder.cpp:16-51
 
 #include <algorithm>
+#include <chrono>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <deque>
 #include <map>
+#include <thread>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -275,6 +280,27 @@ struct Engine {
     std::vector<std::deque<i64> > lists[2];  // per bifId, front-insert
     std::vector<std::pair<std::pair<int, i64>, i64> > to_clear;  // ((strand,bif),idx)
 
+    // Visit scheduling (output-exact sparse iteration): the reference
+    // visits every id every iteration, but RemoveBulges returns before
+    // touching any state when AnyBulges finds nothing
+    // (src/bulgeremoval.cpp:335-353), so skipping ids PROVEN bulge-free
+    // is invisible in the output.  While a sweep runs, every store
+    // mutation flags the ids whose detection outcome could have changed:
+    // ids of erased/added marks directly (hooks below), plus ids of all
+    // marks whose walk window overlaps a rewritten span (collapse_bulge
+    // calls mark_walk_neighbors).  Flags route to the current sweep when
+    // the id is still ahead of the cursor, else to the next sweep.
+    bool tracking = false;
+    i64 cur_id = 0;
+    i64 mb_cur = 0;  // min_branch of the running sweep (walk radius)
+    std::vector<uint8_t> visit_now, visit_next;
+
+    void flag_id(i64 bif) {
+        if (bif == NO_BIF) return;
+        if (bif > cur_id) visit_now[(size_t)bif] = 1;
+        else visit_next[(size_t)bif] = 1;
+    }
+
     i64 get_node_at(int strand, int c, i64 pos) const {
         return bif_at[strand][c][pos];
     }
@@ -297,6 +323,7 @@ struct Engine {
         bif_at[strand][c][pos] = idx;
         mark_bits[strand][c].set(pos);
         lists[strand][bif].push_front(idx);
+        if (tracking) flag_id(bif);
     }
     void erase_point(int strand, int c, i64 pos) {
         i64 idx = bif_at[strand][c][pos];
@@ -306,6 +333,7 @@ struct Engine {
         mark_bits[strand][c].clear(pos);
         node_bif[idx] = NO_BIF;
         to_clear.push_back(std::make_pair(std::make_pair(strand, bif), idx));
+        if (tracking) flag_id(bif);
     }
     void cleanup() {
         for (size_t i = 0; i < to_clear.size(); i++) {
@@ -349,6 +377,30 @@ struct Engine {
 
 inline i64 advance(i64 pos, int strand, i64 n) {
     return strand == 0 ? pos + n : pos - n;
+}
+
+// Flag every id owning a mark whose detection walk can see the rewritten
+// span [span_start, span_start + sd) on chromosome c (post-splice
+// coordinates).  The collapse protocol touches marks at most k outside
+// the span on either side; a 2k margin bounds that and the
+// chromosome-shrink proper_kmer edge cases.  A positive-strand walk from
+// p covers (p, p + mb); a negative-strand walk covers (p - mb, p).
+void mark_walk_neighbors(Engine& e, i64 k, int c, i64 span_start, i64 sd) {
+    i64 len = (i64)e.chars[c].size();
+    i64 lo = span_start - 2 * k;
+    i64 hi = span_start + sd + 2 * k;
+    for (int strand = 0; strand < 2; strand++) {
+        i64 wlo = strand == 0 ? lo - e.mb_cur : lo;
+        i64 whi = strand == 0 ? hi : hi + e.mb_cur;
+        if (wlo < 0) wlo = 0;
+        if (whi > len - 1) whi = len - 1;
+        const MarkBits& bits = e.mark_bits[strand][c];
+        const std::vector<i64>& arr = e.bif_at[strand][c];
+        for (i64 p = bits.next_set(wlo); p >= 0 && p <= whi;
+             p = bits.next_set(p + 1)) {
+            e.flag_id(e.node_bif[arr[p]]);
+        }
+    }
 }
 
 inline uint8_t char_at(const Engine& e, int strand, int c, i64 pos) {
@@ -528,6 +580,69 @@ void collapse_bulge(Engine& e, i64 k, i64 src_idx, i64 src_dist,
         b = e.get_bif(1 - s_s, c_s, advance(p_s, s_s, off));
         if (b != NO_BIF) e.add_point(1 - s_t, c_t, advance(p_t, s_t, off), b);
     }
+
+    if (e.tracking) {
+        i64 span_pos = s_t == 0 ? p_t + k : p_t - k - sd + 1;
+        mark_walk_neighbors(e, k, c_t, span_pos, sd);
+    }
+}
+
+// Parallel (read-only) candidate detection: cand[id] = 1 iff AnyBulges
+// at id would report at least one bulge group right now.  Replicates the
+// claim logic of AnyBulges (src/bulgeremoval.cpp:157-218) — first branch
+// to reach a downstream bif claims it with its end char; any later
+// branch hitting a claimed bif with a DIFFERENT end char forms a group —
+// but early-exits the id at the first such hit, and needs no
+// iteration-order emulation because only the boolean is wanted.  Safe to
+// run threaded: the walks only read the store.
+void prefilter_candidates(Engine& e, i64 k, i64 min_branch,
+                          std::vector<uint8_t>& cand) {
+    cand.assign((size_t)e.max_id + 1, 0);
+    unsigned hw = std::thread::hardware_concurrency();
+    int T = hw > 1 ? (int)std::min(hw, 8u) : 1;
+    auto work = [&](int tid) {
+        std::vector<Mark> marks;
+        std::vector<i64> start_nodes;
+        // per-thread claim table, versioned to avoid per-id clears
+        std::vector<uint8_t> claim_ec((size_t)e.max_id + 1, 0);
+        std::vector<i64> claim_epoch((size_t)e.max_id + 1, -1);
+        for (i64 id = tid; id <= e.max_id; id += T) {
+            size_t n0 = e.lists[0][id].size();
+            if (n0 + e.lists[1][id].size() < 2) continue;
+            start_nodes.clear();
+            for (int strand = 0; strand < 2; strand++)
+                start_nodes.insert(start_nodes.end(), e.lists[strand][id].begin(),
+                                   e.lists[strand][id].end());
+            for (size_t i = 0; i < start_nodes.size() && !cand[(size_t)id]; i++) {
+                i64 idx = start_nodes[i];
+                int strand = e.node_strand[idx];
+                int c = e.node_chr[idx];
+                i64 pos = e.node_pos[idx];
+                if (!proper_kmer(e, strand, c, pos, k + 1)) continue;
+                uint8_t ec = char_at(e, strand, c, advance(pos, strand, k));
+                scan_forward(e, strand, c, pos, min_branch, marks);
+                for (size_t m = 0; m < marks.size(); m++) {
+                    i64 b = e.node_bif[marks[m].node];
+                    if (b == id) break;
+                    if (claim_epoch[(size_t)b] != id) {
+                        claim_epoch[(size_t)b] = id;
+                        claim_ec[(size_t)b] = ec;
+                    } else if (claim_ec[(size_t)b] != ec) {
+                        cand[(size_t)id] = 1;
+                        break;
+                    }
+                }
+            }
+        }
+    };
+    if (T == 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> threads;
+        for (int t = 1; t < T; t++) threads.push_back(std::thread(work, t));
+        work(0);
+        for (size_t t = 0; t < threads.size(); t++) threads[t].join();
+    }
 }
 
 i64 remove_bulges(Engine& e, i64 k, i64 min_branch, i64 bif_id) {
@@ -694,15 +809,101 @@ void engine_set_bifs(void* handle, i64 max_id,
 
 i64 engine_simplify(void* handle, i64 k, i64 min_branch, i64 max_iterations) {
     Engine* e = (Engine*)handle;
+    const char* pv = std::getenv("SIBELIA_TPU_PROF");
+    bool prof = pv && pv[0] == '1';
     i64 total = 0;
     i64 iterations = 0;
     for (;;) {
         iterations++;
+        i64 before = total;
+        std::chrono::steady_clock::time_point t0 =
+            std::chrono::steady_clock::now();
         for (i64 id = 0; id <= e->max_id; id++) {
             total += remove_bulges(*e, k, min_branch, id);
         }
+        if (prof) {
+            double ms = std::chrono::duration<double, std::milli>(
+                            std::chrono::steady_clock::now() - t0)
+                            .count();
+            std::fprintf(stderr,
+                         "[prof] simplify k=%lld iter=%lld bulges=%lld"
+                         " %8.1f ms\n",
+                         (long long)k, (long long)iterations,
+                         (long long)(total - before), ms);
+        }
         if (!(total > 0 && iterations < max_iterations)) break;
     }
+    return total;
+}
+
+// Sparse sweep driver: identical output to engine_simplify (the dense
+// reference loop, src/blockfinder.cpp:16-51), visiting only ids that can
+// have bulges.  Iteration 1 visits `cand0` (caller-provided candidate
+// bitmap — e.g. computed on the TPU during enumeration — or the parallel
+// host prefilter when NULL); later iterations visit only ids flagged by
+// the mutation hooks during earlier collapses.  Differentially tested
+// against the dense Python engine (tests/test_native_engine.py).
+i64 engine_simplify_sparse(void* handle, i64 k, i64 min_branch,
+                           i64 max_iterations, const uint8_t* cand0,
+                           i64 cand_len) {
+    Engine* e = (Engine*)handle;
+    const char* pv = std::getenv("SIBELIA_TPU_PROF");
+    bool prof = pv && pv[0] == '1';
+    std::chrono::steady_clock::time_point t0 =
+        std::chrono::steady_clock::now();
+    if (cand0 != nullptr) {
+        i64 m = cand_len < e->max_id + 1 ? cand_len : e->max_id + 1;
+        e->visit_now.assign((size_t)e->max_id + 1, 0);
+        std::memcpy(e->visit_now.data(), cand0, (size_t)m);
+    } else {
+        prefilter_candidates(*e, k, min_branch, e->visit_now);
+    }
+    e->visit_next.assign((size_t)e->max_id + 1, 0);
+    if (prof) {
+        double ms = std::chrono::duration<double, std::milli>(
+                        std::chrono::steady_clock::now() - t0)
+                        .count();
+        i64 nc = 0;
+        for (size_t i = 0; i < e->visit_now.size(); i++) nc += e->visit_now[i];
+        std::fprintf(stderr,
+                     "[prof] candidates k=%lld %lld/%lld (%s) %8.1f ms\n",
+                     (long long)k, (long long)nc, (long long)(e->max_id + 1),
+                     cand0 ? "device" : "host", ms);
+    }
+    e->tracking = true;
+    e->mb_cur = min_branch;
+    i64 total = 0;
+    i64 iterations = 0;
+    for (;;) {
+        iterations++;
+        i64 before = total;
+        t0 = std::chrono::steady_clock::now();
+        for (i64 id = 0; id <= e->max_id; id++) {
+            if (!e->visit_now[(size_t)id]) continue;
+            e->cur_id = id;
+            i64 r = remove_bulges(*e, k, min_branch, id);
+            total += r;
+            if (r > 0) e->visit_next[(size_t)id] = 1;
+        }
+        if (prof) {
+            double ms = std::chrono::duration<double, std::milli>(
+                            std::chrono::steady_clock::now() - t0)
+                            .count();
+            std::fprintf(stderr,
+                         "[prof] sparse k=%lld iter=%lld bulges=%lld"
+                         " %8.1f ms\n",
+                         (long long)k, (long long)iterations,
+                         (long long)(total - before), ms);
+        }
+        if (!(total > 0 && iterations < max_iterations)) break;
+        e->visit_now.swap(e->visit_next);
+        std::fill(e->visit_next.begin(), e->visit_next.end(), 0);
+        bool any = false;
+        for (size_t i = 0; i < e->visit_now.size() && !any; i++)
+            any = e->visit_now[i] != 0;
+        if (!any) break;  // remaining reference iterations are no-ops
+    }
+    e->tracking = false;
     return total;
 }
 
