@@ -38,10 +38,11 @@ class BlockFinder:
         from ..graph.indexed import randomize_and_enumerate, store_from_enum
         from ..native import simplify_native
         seq = MutableSequence(self.raw_seq, self.original_pos)
-        enum = randomize_and_enumerate(seq, k, self.rand)
+        enum = randomize_and_enumerate(seq, k, self.rand, min_branch)
         ret = None
         if simplify_mod.TRACE is None:
-            ret = simplify_native(seq, enum, k, min_branch, max_iterations)
+            ret = simplify_native(seq, enum, k, min_branch, max_iterations,
+                                  candidates=enum.candidates)
         if ret is None:
             store = store_from_enum(seq, enum)
             ret = simplify_graph(seq, store, k, min_branch, max_iterations, progress)

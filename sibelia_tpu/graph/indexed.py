@@ -33,11 +33,13 @@ def randomize_ambiguous(seq: MutableSequence, rand: GlibcRand) -> None:
 
 
 def randomize_and_enumerate(seq: MutableSequence, k: int,
-                            rand: GlibcRand | None = None):
-    """Randomize ambiguity codes in place and enumerate bifurcations."""
+                            rand: GlibcRand | None = None,
+                            min_branch: int | None = None):
+    """Randomize ambiguity codes in place and enumerate bifurcations;
+    min_branch requests the device bulge-candidate bitmap too."""
     if rand is not None:
         randomize_ambiguous(seq, rand)
-    return enumerate_bifurcations(seq.to_strings(), k)
+    return enumerate_bifurcations(seq.to_strings(), k, min_branch)
 
 
 def build_index(seq: MutableSequence, k: int, rand: GlibcRand | None = None) -> BifStore:

@@ -43,6 +43,10 @@ class BifEnumeration:
     chr: tuple[np.ndarray, np.ndarray]
     pos: tuple[np.ndarray, np.ndarray]
     bif_id: tuple[np.ndarray, np.ndarray]
+    # optional uint8[count] bitmap: 1 = the id may have a bulge at stage
+    # start (device prefilter, superset of the serial AnyBulges outcome);
+    # None when not computed (host paths use the native prefilter)
+    candidates: np.ndarray | None = None
 
 
 _RC = bytes.maketrans(b"ACGT", b"TGCA")
@@ -163,6 +167,84 @@ def _enum_scan_device(codes, order, start, k: int):
 
 import jax as _jax  # ranking (imported above) already pulls jax in
 
+# banded self-join width for the device bulge-candidate prefilter: pairs
+# beyond this many instances apart fall back to a conservative
+# "candidate" flag (superset-safe), bounding the tuple tensor statically
+_CAND_BAND = 48
+
+
+@functools.partial(_jax.jit, static_argnums=(3, 4))
+def _candidate_scan(codes, pos, ids, k: int, min_branch: int, n_sel):
+    """Device bulge-candidate prefilter over the packed instance table.
+
+    A vertex can only have a bulge when two of its instances, with
+    different end chars, reach a common bifurcation within min_branch
+    steps (reference: src/bulgeremoval.cpp:158-218).  In supergenome
+    coordinates every walk runs forward (rc-half instances ARE the
+    negative strand), so walk membership is a banded self-join over the
+    position-sorted instance table: member q belongs to owner p's walk
+    iff 1 <= q - p < min_branch and q precedes p's block end.  Tuples
+    (owner_id, member_id, owner_end_char) for all bands 1.._CAND_BAND are
+    sorted by (owner_id, member_id); a group holding two distinct end
+    chars marks owner_id as a candidate.  Owners whose band overflows
+    _CAND_BAND are flagged conservatively.  The result is a SUPERSET of
+    "AnyBulges reports a group" (walk truncation at the start id and the
+    claim order only remove pairs), which is all the sparse sweep driver
+    needs (engine.cpp:engine_simplify_sparse).
+
+    pos/ids: int32[B] packed instance positions (supergenome frame,
+    ascending) and dense ids; rows >= n_sel are padding.  Returns
+    bool[B]: candidate flag per id (indexed by id, not row).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n = codes.shape[0]
+    B = pos.shape[0]
+    idxp = jnp.arange(n, dtype=jnp.int32)
+    sep_idx = jnp.where(codes == SEP_CODE, idxp, jnp.int32(n))
+    next_sep = jnp.flip(jax.lax.cummin(jnp.flip(sep_idx)))
+
+    rows = jnp.arange(B, dtype=jnp.int32)
+    row_ok = rows < n_sel
+    p = jnp.where(row_ok, pos, jnp.int32(n))
+    ns = jnp.where(row_ok, jnp.take(next_sep, jnp.minimum(p, n - 1)), 0)
+    # end char exists iff the (k+1)-window stays inside the block
+    # (reference ProperKMer, src/dnasequence.h:154-165)
+    ec = jnp.where(row_ok & (p + k < ns),
+                   jnp.take(codes, jnp.minimum(p + k, n - 1)).astype(jnp.int32),
+                   jnp.int32(-1))
+    v = jnp.where(row_ok, ids, jnp.int32(B))
+
+    SENT = jnp.int32(2**31 - 1)
+    owner_k, member_k, ec_k = [], [], []
+    overflow = jnp.zeros((B,), jnp.bool_)
+    for o in range(1, _CAND_BAND + 1):
+        mp = jnp.concatenate([p[o:], jnp.full((o,), n, jnp.int32)])
+        mv = jnp.concatenate([v[o:], jnp.full((o,), B, jnp.int32)])
+        m_ok = jnp.concatenate([row_ok[o:], jnp.zeros((o,), jnp.bool_)])
+        gap = mp - p
+        ok = (row_ok & m_ok & (ec >= 0) & (gap >= 1)
+              & (gap < min_branch) & (mp < ns))
+        if o == _CAND_BAND:
+            # positions ascend, so an in-window member at the band edge
+            # is the only way unseen pairs can exist beyond it
+            overflow = ok
+        owner_k.append(jnp.where(ok, v, SENT))
+        member_k.append(jnp.where(ok, mv, SENT))
+        ec_k.append(jnp.where(ok, ec, jnp.int32(-1)))
+
+    ko = jnp.concatenate(owner_k)
+    km = jnp.concatenate(member_k)
+    ke = jnp.concatenate(ec_k)
+    sko, skm, ske = jax.lax.sort((ko, km, ke), num_keys=2, is_stable=False)
+    same = (sko[1:] == sko[:-1]) & (skm[1:] == skm[:-1]) & (sko[1:] != SENT)
+    hit = same & (ske[1:] != ske[:-1])
+    cand = jnp.zeros((B + 1,), jnp.bool_)
+    cand = cand.at[jnp.where(hit, sko[1:], jnp.int32(B))].max(hit)
+    cand = cand.at[jnp.where(overflow, v, jnp.int32(B))].max(overflow)
+    return cand[:B]
+
 
 @functools.partial(_jax.jit, static_argnums=(1,))
 def _enum_device_k32(codes, k: int):
@@ -208,7 +290,11 @@ def _map_selected(sel: np.ndarray, sel_ids: np.ndarray, count: int,
     return BifEnumeration(count, tuple(out_chr), tuple(out_pos), tuple(out_id))
 
 
-def enumerate_bifurcations(chromosomes: list[bytes], k: int) -> BifEnumeration:
+def enumerate_bifurcations(chromosomes: list[bytes], k: int,
+                           min_branch: int | None = None) -> BifEnumeration:
+    """Enumerate bifurcations; with `min_branch` given, the device path
+    additionally computes the bulge-candidate bitmap for the coming
+    simplification sweep (BifEnumeration.candidates)."""
     if not chromosomes:
         return _empty_enumeration()
     codes, block_starts = build_supergenome(chromosomes)
@@ -249,15 +335,24 @@ def enumerate_bifurcations(chromosomes: list[bytes], k: int) -> BifEnumeration:
         pad_to = -(-n // _PAD_BUCKET) * _PAD_BUCKET
         codes_p = codes if pad_to == n else np.concatenate(
             [codes, np.zeros(pad_to - n, dtype=codes.dtype)])
-        pos_d, id_d, n_sel_d, n_groups_d = _enum_device_k32(
-            jnp.asarray(codes_p), k)
+        codes_d = jnp.asarray(codes_p)
+        pos_d, id_d, n_sel_d, n_groups_d = _enum_device_k32(codes_d, k)
         ns = int(n_sel_d)
         count = int(n_groups_d)
         if ns == 0:
             return _empty_enumeration()
+        cand = None
+        if min_branch is not None and min_branch > 1:
+            bucket = 1 << max(10, (ns - 1).bit_length())
+            bucket = min(bucket, int(pos_d.shape[0]))
+            cand_d = _candidate_scan(codes_d, pos_d[:bucket], id_d[:bucket],
+                                     k, int(min_branch), n_sel_d)
+            cand = np.asarray(cand_d[:count]).astype(np.uint8)
         sel = np.asarray(pos_d[:ns]).astype(np.int64)
         sel_ids = np.asarray(id_d[:ns]).astype(np.uint32)
-        return _map_selected(sel, sel_ids, count, block_starts, n_chr)
+        res = _map_selected(sel, sel_ids, count, block_starts, n_chr)
+        res.candidates = cand
+        return res
     else:
         rank, order = kmer_ranks(codes, k)
         keep = order[valid[order]]

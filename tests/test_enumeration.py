@@ -246,3 +246,92 @@ def test_device_fused_path_matches_host(monkeypatch):
             assert np.array_equal(dev.chr[s], host.chr[s])
             assert np.array_equal(dev.pos[s], host.pos[s])
             assert np.array_equal(dev.bif_id[s], host.bif_id[s])
+
+
+def _true_bulge_ids(chroms, k, min_branch):
+    """Ground truth: ids where the serial AnyBulges finds >=1 group
+    (graph/simplify semantics) at stage start."""
+    import numpy as np
+    from sibelia_tpu.graph import simplify as S
+    from sibelia_tpu.graph.indexed import store_from_enum
+    from sibelia_tpu.graph.sequence import MutableSequence
+    from sibelia_tpu.index.enumeration import enumerate_bifurcations
+
+    seq = MutableSequence(list(chroms),
+                          [np.arange(len(c), dtype=np.int64) for c in chroms])
+    enum = enumerate_bifurcations(list(chroms), k)
+    store = store_from_enum(seq, enum)
+    truth = set()
+    for bif_id in range(store.max_id + 1):
+        start_nodes = store.list_positions(bif_id)
+        if len(start_nodes) < 2:
+            continue
+        end_char = []
+        for idx in start_nodes:
+            strand = int(store.node_strand[idx])
+            c = int(store.node_chr[idx])
+            pos = int(store.node_pos[idx])
+            if S._proper_kmer(seq, strand, c, pos, k + 1):
+                end_char.append(S._end_char(seq, strand, c, pos, k))
+            else:
+                end_char.append(S.EMPTY)
+        if S._any_bulges(store, start_nodes, end_char, min_branch):
+            truth.add(bif_id)
+    return truth
+
+
+def test_device_candidates_superset(monkeypatch):
+    """The device bulge-candidate bitmap must cover every id where the
+    serial AnyBulges reports a group (the sparse sweep driver skips
+    non-candidates, so a miss would change output)."""
+    import numpy as np
+    from sibelia_tpu.index import enumeration as E
+
+    rng = np.random.default_rng(23)
+    base = rng.choice(list(b"ACGT"), size=4000).astype(np.uint8)
+    mut = base.copy()
+    pos = rng.integers(100, len(mut) - 100, size=40)
+    mut[pos] = rng.choice(list(b"ACGT"), size=40)
+    # an indel bulge too
+    mut = np.concatenate([mut[:1500], rng.choice(list(b"ACGT"), size=7).astype(np.uint8), mut[1500:]])
+    chroms = [bytes(base), bytes(mut)]
+    for k, d in ((7, 40), (15, 150), (25, 400)):
+        truth = _true_bulge_ids(chroms, k, d)
+        monkeypatch.setenv("SIBELIA_TPU_FORCE_DEVICE_ENUM", "1")
+        dev = E.enumerate_bifurcations(chroms, k, min_branch=d)
+        monkeypatch.delenv("SIBELIA_TPU_FORCE_DEVICE_ENUM")
+        assert dev.candidates is not None
+        flagged = set(np.flatnonzero(dev.candidates).tolist())
+        missing = truth - flagged
+        assert not missing, (k, d, sorted(missing)[:5])
+        assert truth, (k, d)  # the fixture must actually contain bulges
+
+
+def test_pipeline_parity_with_device_candidates(monkeypatch):
+    """Full simplification parity: the sparse engine driven by the
+    device candidate bitmap must produce exactly the host result."""
+    import numpy as np
+    from sibelia_tpu.blocks.finder import BlockFinder
+    from sibelia_tpu.io.fasta import FASTARecord
+
+    rng = np.random.default_rng(31)
+    base = rng.choice(list(b"ACGT"), size=6000).astype(np.uint8)
+    mut = base.copy()
+    pos = rng.integers(100, len(mut) - 100, size=60)
+    mut[pos] = rng.choice(list(b"ACGT"), size=60)
+    recs = [FASTARecord(bytes(base).decode(), "a", 1),
+            FASTARecord(bytes(mut).decode(), "b", 2)]
+
+    def run_stages():
+        bf = BlockFinder(list(recs))
+        for (k, d) in ((10, 60), (20, 200)):
+            bf.perform_graph_simplifications(k, d, 4)
+        return bf.raw_seq, bf.original_pos
+
+    host_seq, host_op = run_stages()
+    monkeypatch.setenv("SIBELIA_TPU_FORCE_DEVICE_ENUM", "1")
+    dev_seq, dev_op = run_stages()
+    monkeypatch.delenv("SIBELIA_TPU_FORCE_DEVICE_ENUM")
+    assert host_seq == dev_seq
+    for a, b in zip(host_op, dev_op):
+        assert np.array_equal(a, b)
