@@ -297,6 +297,20 @@ def enumerate_bifurcations(chromosomes: list[bytes], k: int,
     simplification sweep (BifEnumeration.candidates)."""
     if not chromosomes:
         return _empty_enumeration()
+
+    # multi-chip production path: SIBELIA_TPU_SHARDED=N routes the whole
+    # enumeration through the mesh pipeline (parallel/sharded_enum.py);
+    # output is byte-identical for any mesh size (topology invariance,
+    # tests/test_sharded_enum.py)
+    n_shard = os.environ.get("SIBELIA_TPU_SHARDED")
+    if n_shard and n_shard.isdigit() and int(n_shard) > 1:
+        import jax as _j
+        if len(_j.devices()) >= int(n_shard):
+            from ..parallel.sharded_enum import (
+                enumerate_bifurcations_sharded, production_mesh)
+            return enumerate_bifurcations_sharded(
+                chromosomes, k, production_mesh(int(n_shard)))
+
     codes, block_starts = build_supergenome(chromosomes)
     n = codes.shape[0]
     n_chr = len(chromosomes)
