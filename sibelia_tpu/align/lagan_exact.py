@@ -140,21 +140,28 @@ def rechaos(seq1: bytes, name1: str, seq2: bytes, name2: str,
 
 
 def lagan_pl_mfa(seq1: bytes, name1: str, seq2: bytes, name2: str) -> str:
-    """Full ``lagan.pl seq1 seq2 -mfa`` replacement; returns the mfa text."""
+    """Full ``lagan.pl seq1 seq2 -mfa`` replacement; returns the mfa text.
+
+    The order-stage band DP routes to the accelerator when one is locally
+    attached (kernels/order_device.py — byte-identical pointer matrix,
+    native band construction and traceback); SIBELIA_TPU_DEVICE_ORDER=1/0
+    forces it on or off."""
+    import os
     anchors = rechaos(seq1, name1, seq2, name2)
+    env = os.environ.get("SIBELIA_TPU_DEVICE_ORDER")
+    use_dev = env != "0" if env is not None else None
+    if use_dev is None:
+        from ..core.platform import device_dispatch
+        use_dev = device_dispatch()
+    if use_dev:
+        from ..kernels.order_device import order_mfa_device
+        dev = order_mfa_device(seq1, name1, seq2, name2, anchors)
+        if dev is not None:
+            return dev
     return lagan_order(seq1, name1, seq2, name2, anchors)
 
 
-def align_pair_exact(a: bytes, b: bytes,
-                     name_a: str = "seq_a",
-                     name_b: str = "seq_b") -> tuple[str, str]:
-    """Aligned rows for a unique block pair, byte-identical to the rows the
-    reference C-Sibelia obtains from ``lagan.pl -mfa``."""
-    if isinstance(a, str):
-        a = a.encode()
-    if isinstance(b, str):
-        b = b.encode()
-    mfa = lagan_pl_mfa(a, name_a, b, name_b)
+def _mfa_rows(mfa: str) -> tuple[str, str]:
     rows: list[str] = []
     cur: list[str] = []
     for line in mfa.split("\n"):
@@ -167,3 +174,36 @@ def align_pair_exact(a: bytes, b: bytes,
     if cur:
         rows.append("".join(cur))
     return rows[0], rows[1]
+
+
+def align_pair_exact(a: bytes, b: bytes,
+                     name_a: str = "seq_a",
+                     name_b: str = "seq_b") -> tuple[str, str]:
+    """Aligned rows for a unique block pair, byte-identical to the rows the
+    reference C-Sibelia obtains from ``lagan.pl -mfa``."""
+    if isinstance(a, str):
+        a = a.encode()
+    if isinstance(b, str):
+        b = b.encode()
+    return _mfa_rows(lagan_pl_mfa(a, name_a, b, name_b))
+
+
+def align_pairs_exact_batch(
+        pairs: list[tuple[bytes, bytes, str, str]]
+) -> list[tuple[str, str] | None]:
+    """Batched unique-pair alignment: anchors per pair on the host, then
+    every band DP in grouped vmapped device dispatches
+    (kernels/order_device.py).  Entries come back None when a pair needs
+    the host fallback (band too wide); rows are byte-identical to
+    align_pair_exact either way."""
+    from ..kernels.order_device import order_mfa_device_batch
+    jobs = []
+    for a, b, name_a, name_b in pairs:
+        if isinstance(a, str):
+            a = a.encode()
+        if isinstance(b, str):
+            b = b.encode()
+        anchors = rechaos(a, name_a, b, name_b)
+        jobs.append((a, name_a, b, name_b, anchors))
+    res = order_mfa_device_batch(jobs)
+    return [None if mfa is None else _mfa_rows(mfa) for mfa in res]

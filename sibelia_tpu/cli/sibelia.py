@@ -52,6 +52,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
 
 def run(argv: list[str]) -> int:
     args = build_arg_parser().parse_args(argv)
+    prof_ctx = None
     try:
         if args.stagefile is not None:
             stage = read_stage_file(args.stagefile)
@@ -97,6 +98,14 @@ def run(argv: list[str]) -> int:
                       file=sys.stderr)
 
         trace = os.environ.get("SIBELIA_TPU_TRACE") == "1"
+        # SIBELIA_TPU_PROFILE_DIR=<dir>: capture a jax.profiler trace of
+        # the whole run (viewable in TensorBoard / Perfetto) — the
+        # observability hook the reference lacks entirely (SURVEY §5)
+        prof_dir = os.environ.get("SIBELIA_TPU_PROFILE_DIR")
+        if prof_dir:
+            import jax
+            prof_ctx = jax.profiler.trace(prof_dir)
+            prof_ctx.__enter__()
         import time as _time
         trim_k = 1 << 31
         for i, (k, d) in enumerate(stage):
@@ -115,11 +124,16 @@ def run(argv: list[str]) -> int:
                         finder.serialize_condensed_graph(k, g)
             print(f"Simplification stage {i + 1} of {len(stage)}")
             print("Enumerating vertices of the graph, then performing bulge removal...")
+            n_before = sum(len(s) for s in finder.raw_seq)
             finder.perform_graph_simplifications(k, d, args.maxiterations)
             if trace:
+                dt = _time.time() - t_stage
                 n_now = sum(len(s) for s in finder.raw_seq)
+                # both strands are indexed, so the stage processes 2x the
+                # working-sequence k-mers (the BASELINE throughput metric)
+                rate = 2 * n_before / max(dt, 1e-9) / 1e6
                 print(f"[trace] stage {i + 1}: k={k} d={d} "
-                      f"{_time.time() - t_stage:.2f}s seq={n_now}",
+                      f"{dt:.2f}s seq={n_now} {rate:.1f} Mkmers/s",
                       file=sys.stderr)
             if ckpt_dir:
                 save_checkpoint(finder,
@@ -181,6 +195,9 @@ def run(argv: list[str]) -> int:
     except RuntimeError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
+    finally:
+        if prof_ctx is not None:
+            prof_ctx.__exit__(None, None, None)
 
 
 def main() -> None:

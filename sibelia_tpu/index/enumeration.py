@@ -92,71 +92,80 @@ def build_supergenome(chromosomes: list[bytes]) -> tuple[np.ndarray, np.ndarray]
 # ---------------------------------------------------------------------------
 
 
-def _enum_scan_device(codes, order, start, k: int):
-    """Device group scan over sorted positions.
+def _enum_device_impl(codes, k: int):
+    """Fused device enumeration for k <= 32 (traceable body).
 
-    codes: uint8[n] supergenome codes; order: int32[n] positions in k-mer
-    sorted order; start: bool[n] group-start flags in sorted order.
-    Returns (pos_sorted, id_sorted, n_sel, n_groups): selected instance
-    positions ascending in the first n_sel slots with their dense bif ids.
+    One sort of (key1, key2, invalid_flag, position) delivers every VALID
+    position grouped by k-mer in lexicographic order as a contiguous
+    prefix (invalid windows all carry the sentinel key, and the flag key
+    keeps genuine all-T windows ahead of them inside the sentinel
+    cluster), so group sizes come straight from segment bounds and the
+    bifurcation rule (vertexenumeration.cpp:67-70,227-245) reduces to
+    segment max/min of the neighbor char codes: over codes 0..4,
+    "distinct chars > 1" is segMax != segMin, "contains '#'" is
+    segMin == 0, and "any terminal member" is segMin(min(prev, next))
+    == 0.  Segment extrema use the ordinal-prefix trick — cummax of
+    (group_ordinal << 6 | value) gathered at segment ends — which
+    compiles to plain vector scans (a tuple-combiner associative_scan
+    made XLA's TPU compile time grow with n).  A final single-key sort
+    packs the selected instances ascending by position so the host
+    transfers exactly n_sel elements.
     """
     import jax
     import jax.numpy as jnp
 
     n = codes.shape[0]
+    key1, key2, next_sep = _packed_keys(codes, k)
     iota = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    valid = (iota + k) <= next_sep
+    vflag = (~valid).astype(jnp.uint32)
+    sk1, sk2, _, order = jax.lax.sort((key1, key2, vflag, iota),
+                                      num_keys=3, is_stable=False)
+    nv = jnp.sum(valid.astype(jnp.int32))
+    isval = iota < nv
+    start = isval & jnp.concatenate([
+        jnp.ones((1,), jnp.bool_),
+        (sk1[1:] != sk1[:-1]) | (sk2[1:] != sk2[:-1])])
 
-    # validity of each sorted position: window crosses no separator
-    idxp = jnp.arange(n, dtype=jnp.int32)
-    sep_idx = jnp.where(codes == SEP_CODE, idxp, jnp.int32(n))
-    next_sep = jnp.flip(jax.lax.cummin(jnp.flip(sep_idx)))
-    valid = (idxp + k) <= next_sep
-    valid_s = jnp.take(valid, order)
+    # the ordinal-prefix extrema need (n_groups << 6) to fit the scan
+    # dtype; int32 covers every n below 2^25 (the supergenome of a 1 GB
+    # input needs int64)
+    sdt = jnp.int32 if n < (1 << 25) else jnp.int64
+    prev_c = jnp.take(codes, jnp.maximum(order - 1, 0)).astype(sdt)
+    next_c = jnp.take(codes, jnp.minimum(order + k, n - 1)).astype(sdt)
 
-    prev_c = jnp.take(codes, jnp.maximum(order - 1, 0))
-    next_c = jnp.take(codes, jnp.minimum(order + k, n - 1))
-
-    # segment bounds in sorted order: sidx = this group's first slot,
-    # eidx = its last slot
+    # segment bounds: sidx = first slot, eidx = last VALID slot
     sidx = jax.lax.cummax(jnp.where(start, iota, 0))
     nxt_after = jnp.concatenate(
-        [jnp.where(start, iota, jnp.int32(n))[1:], jnp.full((1,), n, jnp.int32)])
-    eidx = jnp.flip(jax.lax.cummin(jnp.flip(nxt_after))) - 1
+        [jnp.where(start, iota, jnp.int32(n))[1:],
+         jnp.full((1,), n, jnp.int32)])
+    eidx = jnp.minimum(
+        jnp.flip(jax.lax.cummin(jnp.flip(nxt_after))) - 1, nv - 1)
+    eidx_c = jnp.maximum(eidx, 0)
 
-    def seg_tot(ind):
-        """Per-element total of `ind` over the element's whole segment."""
-        cs = jnp.cumsum(ind.astype(jnp.int32))
-        lo = jnp.where(sidx > 0, jnp.take(cs, jnp.maximum(sidx - 1, 0)), 0)
-        return jnp.take(cs, eidx) - lo
+    ordinal = jnp.cumsum(start.astype(sdt)) << 6
 
-    # bifurcation rule: >1 distinct prev (or next) chars, or '#' present
-    # (vertexenumeration.cpp:67-70); only valid members contribute
-    prev_distinct = jnp.zeros((n,), jnp.int32)
-    next_distinct = jnp.zeros((n,), jnp.int32)
-    prev_has_sep = jnp.zeros((n,), jnp.bool_)
-    next_has_sep = jnp.zeros((n,), jnp.bool_)
-    for b in range(5):
-        pb = seg_tot(valid_s & (prev_c == b)) > 0
-        nb = seg_tot(valid_s & (next_c == b)) > 0
-        prev_distinct += pb.astype(jnp.int32)
-        next_distinct += nb.astype(jnp.int32)
-        if b == SEP_CODE:
-            prev_has_sep = pb
-            next_has_sep = nb
-    bif = ((prev_distinct > 1) | prev_has_sep
-           | (next_distinct > 1) | next_has_sep)
+    def seg_max(v):
+        return jnp.take(jax.lax.cummax(ordinal | v), eidx_c) & 63
 
-    n_members = seg_tot(valid_s)
-    any_terminal = seg_tot(
-        valid_s & ((prev_c == SEP_CODE) | (next_c == SEP_CODE))) > 0
-    counted = bif & ((n_members > 1) | any_terminal)
+    def seg_min(v):
+        return 63 - (jnp.take(jax.lax.cummax(ordinal | (63 - v)),
+                              eidx_c) & 63)
+
+    pmax, pmin = seg_max(prev_c), seg_min(prev_c)
+    nmax, nmin = seg_max(next_c), seg_min(next_c)
+    tmin = seg_min(jnp.minimum(prev_c, next_c))
+    bif = ((pmax != pmin) | (pmin == 0) | (nmax != nmin) | (nmin == 0))
+    n_members = eidx - sidx + 1
+    any_terminal = tmin == 0
+    counted = isval & bif & ((n_members > 1) | any_terminal)
 
     # dense ids over counted groups, in sorted (== lexicographic) order
     id_cums = jnp.cumsum((start & counted).astype(jnp.int32))
     ids = id_cums - 1
     n_groups = id_cums[-1]
 
-    sel = valid_s & counted
+    sel = counted
     n_sel = jnp.sum(sel.astype(jnp.int32))
     # pack selected instances ascending by supergenome position
     poskey = jnp.where(sel, order, jnp.int32(n))
@@ -248,19 +257,8 @@ def _candidate_scan(codes, pos, ids, k: int, min_branch: int, n_sel):
 
 @functools.partial(_jax.jit, static_argnums=(1,))
 def _enum_device_k32(codes, k: int):
-    """Fused device enumeration for k <= 32: one 3-key sort + group scan."""
-    import jax
-    import jax.numpy as jnp
-
-    n = codes.shape[0]
-    key1, key2, _ = _packed_keys(codes, k)
-    idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
-    sk1, sk2, order = jax.lax.sort((key1, key2, idx), num_keys=3,
-                                   is_stable=False)
-    start = jnp.concatenate([
-        jnp.ones((1,), jnp.bool_),
-        (sk1[1:] != sk1[:-1]) | (sk2[1:] != sk2[:-1])])
-    return _enum_scan_device(codes, order, start, k)
+    """Fused device enumeration for k <= 32: one jit dispatch."""
+    return _enum_device_impl(codes, k)
 
 
 def _empty_enumeration() -> BifEnumeration:

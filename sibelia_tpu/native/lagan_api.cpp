@@ -66,4 +66,40 @@ char* le_order(const char* seq1, long n1, const char* name1, const char* seq2,
 
 void le_free(char* p) { std::free(p); }
 
+// --- split order pipeline around the device band DP ------------------------
+
+void* le_order_prepare(const char* seq1, long n1, const char* seq2, long n2,
+                       const char* anchors) {
+  lagan::MappedSeq s1, s2;
+  lagan::map_sequence(seq1, n1, true, &s1);
+  lagan::map_sequence(seq2, n2, true, &s2);
+  return lagan::order_prepare(s1, s2, anchors);
+}
+
+// dims_out: [d1, d2, ndiags, max_band_width]
+void le_order_dims(void* h, long long* dims_out) {
+  lagan::order_band_dims(h, dims_out, dims_out + 1, dims_out + 2,
+                         dims_out + 3);
+}
+
+void le_order_band(void* h, int* starts, int* ends, int* isneck_eff) {
+  lagan::order_band_rows(h, starts, ends, isneck_eff);
+}
+
+// Mapped sequence for the device DP: lets[0] (the order-mode zero
+// sentinel) through lets[numlets + 16] (trailing pad); caller allocates
+// numlets + 17 bytes. which: 1 or 2.
+void le_order_seq(void* h, int which, char* out) {
+  lagan::order_mapped_seq(h, which, out);
+}
+
+char* le_order_finish(void* h, const char* name1, const char* name2,
+                      const unsigned char* ptrs, long long wmax) {
+  std::string out;
+  lagan::order_finish_mfa(h, name1, name2, ptrs, wmax, &out);
+  return dup_out(out);
+}
+
+void le_order_release(void* h) { lagan::order_release(h); }
+
 }  // extern "C"

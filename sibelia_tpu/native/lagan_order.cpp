@@ -418,4 +418,127 @@ void order_mfa(const MappedSeq& s1, const char* name1, const MappedSeq& s2,
   print_mfa_row(s2.lets, moves, 2, out);  // 2 = INSERTION skips seq2
 }
 
+// ---------------------------------------------------------------------------
+// Split pipeline: native band construction + traceback around the device
+// band DP (see lagan_stages.h).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct OrderPrepImpl {
+  MappedSeq s1, s2;
+  Band band;
+};
+
+}  // namespace
+
+void* order_prepare(const MappedSeq& s1, const MappedSeq& s2,
+                    const std::string& anchors_text) {
+  OrderPrepImpl* h = new OrderPrepImpl();
+  h->s1 = s1;
+  h->s2 = s2;
+  h->s1.lets = &h->s1.store[16];
+  h->s2.lets = &h->s2.store[16];
+  AncParse ap;
+  parse_anchors(anchors_text, s1.numlets, s2.numlets, &ap);
+  h->band.d1 = s1.numlets + 1;
+  h->band.d2 = s2.numlets + 1;
+  h->band.starts.assign((size_t)(h->band.d1 + h->band.d2 + 2), 0);
+  h->band.ends.assign((size_t)(h->band.d1 + h->band.d2 + 2), 0);
+  do_shapes(ap.ancs, &h->band);
+  find_necks(&h->band);
+  return h;
+}
+
+void order_band_dims(void* hv, long long* d1, long long* d2,
+                     long long* ndiags, long long* maxw) {
+  OrderPrepImpl* h = (OrderPrepImpl*)hv;
+  *d1 = h->band.d1;
+  *d2 = h->band.d2;
+  long long nd = h->band.d1 + h->band.d2 - 1;
+  *ndiags = nd;
+  long long w = 0;
+  for (long long i = 1; i <= nd; ++i) {
+    long long s = h->band.ends[(size_t)i] - h->band.starts[(size_t)i] + 1;
+    if (s > w) w = s;
+  }
+  *maxw = w;
+}
+
+void order_band_rows(void* hv, int* starts, int* ends, int* isneck_eff) {
+  OrderPrepImpl* h = (OrderPrepImpl*)hv;
+  long long nd = h->band.d1 + h->band.d2 - 1;
+  for (long long i = 1; i <= nd; ++i) {
+    starts[i - 1] = h->band.starts[(size_t)i];
+    ends[i - 1] = h->band.ends[(size_t)i];
+    // the host loop renormalizes only when i < ndiags - 2
+    isneck_eff[i - 1] =
+        (i < nd - 2 && h->band.isneck[(size_t)i]) ? 1 : 0;
+  }
+}
+
+void order_mapped_seq(void* hv, int which, char* out) {
+  OrderPrepImpl* h = (OrderPrepImpl*)hv;
+  const MappedSeq& s = which == 1 ? h->s1 : h->s2;
+  std::memcpy(out, s.lets, (size_t)s.numlets + 17);
+}
+
+void order_finish_mfa(void* hv, const char* name1, const char* name2,
+                      const unsigned char* ptrs, long long wmax,
+                      std::string* out) {
+  OrderPrepImpl* h = (OrderPrepImpl*)hv;
+  const Band& b = h->band;
+  int d1 = b.d1, d2 = b.d2;
+  int ndiags = d1 + d2 - 1;
+  const char* s1 = h->s1.lets;
+  const char* s2 = h->s2.lets;
+  // get_ptr over the device pointer matrix (row = diag - 1)
+  auto get_ptr = [&](int x, int y) -> int {
+    int dn = x + y - 1;
+    if (dn <= 0 || dn >= d1 + d2) return 0xF;
+    int elem = (dn < d2) ? (x - 1) : d2 - y;
+    if (elem < b.starts[(size_t)dn] || elem > b.ends[(size_t)dn]) return 0xF;
+    return ptrs[(size_t)(dn - 1) * (size_t)wmax
+                + (size_t)(elem - b.starts[(size_t)dn])];
+  };
+  (void)ndiags;
+  std::vector<char> moves;
+  int x = d1, y = d2;
+  int inrun = 0;
+  int zz = get_ptr(x, y);
+  do {
+    int which = zz & 0x3;
+    if (which == 0x3) break;
+    if (inrun == 1) {
+      if (zz & 0x4) which = 1;
+    } else if (inrun == 2) {
+      if (zz & 0x8) which = 2;
+    }
+    if (which == 0) {
+      inrun = 0;
+      moves.push_back(s1[x - 1] == s2[y - 1] ? 1 : 0);
+      zz = get_ptr(--x, --y);
+    } else if (which == 1) {
+      inrun = 1;
+      moves.push_back(2);
+      zz = get_ptr(--x, y);
+    } else {
+      inrun = 2;
+      moves.push_back(3);
+      zz = get_ptr(x, --y);
+    }
+  } while (x > 0 && y > 0);
+  std::reverse(moves.begin(), moves.end());
+  out->append(">");
+  out->append(name1);
+  out->append("\n");
+  print_mfa_row(s1, moves, 3, out);
+  out->append(">");
+  out->append(name2);
+  out->append("\n");
+  print_mfa_row(s2, moves, 2, out);
+}
+
+void order_release(void* hv) { delete (OrderPrepImpl*)hv; }
+
 }  // namespace lagan

@@ -27,6 +27,23 @@ void order_mfa(const MappedSeq& s1, const char* name1, const MappedSeq& s2,
                const char* name2, const std::string& anchors_text,
                std::string* out);
 
+// Split order pipeline for the device band DP: band construction and
+// traceback stay native (exact reuse of the host engine's shapes/necks
+// and pointer-walk), the O(band area) score recurrence runs on the
+// accelerator (kernels/order_device.py).  `ptrs` is the device-computed
+// pointer matrix, row (diag-1), wmax columns, nibble layout identical to
+// the host DP.
+void* order_prepare(const MappedSeq& s1, const MappedSeq& s2,
+                    const std::string& anchors_text);
+void order_band_dims(void* h, long long* d1, long long* d2,
+                     long long* ndiags, long long* maxw);
+void order_band_rows(void* h, int* starts, int* ends, int* isneck_eff);
+void order_mapped_seq(void* h, int which, char* out);
+void order_finish_mfa(void* h, const char* name1, const char* name2,
+                      const unsigned char* ptrs, long long wmax,
+                      std::string* out);
+void order_release(void* h);
+
 }  // namespace lagan
 
 #endif  // SIBELIA_TPU_LAGAN_STAGES_H

@@ -294,16 +294,28 @@ def determine_unique_block(instance_list, reference_seq, min_block_size):
     return ref_inst, asm_inst
 
 
-def process_block(block):
+def process_block(block, prealigned=None):
     """Align one block's instances and, for unique pairs, diff the rows
     into variants (reference: C-Sibelia.py:274-309, in-process aligners).
 
     Unique pairs default to the exact LAGAN engine (byte-identical to
-    ``lagan.pl -mfa``; align/lagan_exact.py).  SIBELIA_TPU_ALIGNER=fast
+    ``lagan.pl -mfa``; align/lagan_exact.py), with the order-stage band
+    DP batched onto the accelerator when one is attached (`prealigned`
+    carries rows from align_pairs_exact_batch).  SIBELIA_TPU_ALIGNER=fast
     selects the anchored-Gotoh engine instead, and with it
     SIBELIA_TPU_DEVICE_ALIGN=1 routes gap subproblems through the batched
     device kernel (identical to the fast host path)."""
     unique, synteny_block_id, instance_list = block
+    if unique and prealigned is not None \
+            and synteny_block_id in prealigned:
+        row0, row1 = prealigned[synteny_block_id]
+        ref_inst, asm_inst = instance_list
+        alignment = [AlignmentRecord(body=row0, block_instance=ref_inst),
+                     AlignmentRecord(body=row1, block_instance=asm_inst)]
+        direction = +1 if ref_inst.strand == "+" else -1
+        return parse_alignment([row0, row1], ref_inst.chr_id,
+                               synteny_block_id, asm_inst.chr_id,
+                               ref_inst.start, direction), alignment
     if unique:
         ref_inst, asm_inst = instance_list
         mode = os.environ.get("SIBELIA_TPU_ALIGNER", "exact")
@@ -359,6 +371,36 @@ def process_block(block):
                               synteny_block_id, assembly_instance.chr_id,
                               reference_instance.start, reference_direction)
     return ret, alignment
+
+
+def _batch_align_unique(annotated_block):
+    """Batch every unique pair's band DP into grouped device dispatches
+    (SURVEY §2e alignment batch engine).  Returns {block_id: (row0,
+    row1)} — possibly partial; process_block falls back per pair.  Empty
+    when the accelerator path is off or a non-exact aligner is chosen."""
+    env = os.environ.get("SIBELIA_TPU_DEVICE_ORDER")
+    use_dev = env != "0" if env is not None else None
+    if use_dev is None:
+        from ..core.platform import device_dispatch
+        use_dev = device_dispatch()
+    if not use_dev or os.environ.get("SIBELIA_TPU_ALIGNER", "exact") != "exact":
+        return {}
+    from ..align import lagan_exact
+    if not lagan_exact.available():
+        return {}
+    ids, pairs = [], []
+    for unique, sbid, instance_list in annotated_block:
+        if not unique:
+            continue
+        ref_inst, asm_inst = instance_list
+        name0 = ref_inst.chr_id + str(ref_inst.start) + "_" + str(ref_inst.end)
+        name1 = asm_inst.chr_id + str(asm_inst.start) + "_" + str(asm_inst.end)
+        ids.append(sbid)
+        pairs.append((ref_inst.seq, asm_inst.seq, name0, name1))
+    if not pairs:
+        return {}
+    rows = lagan_exact.align_pairs_exact_batch(pairs)
+    return {sbid: r for sbid, r in zip(ids, rows) if r is not None}
 
 
 def depict_coverage(block_seq, reference_seq, assembly_seq, base_cover):
@@ -458,10 +500,11 @@ def call_variants(directory, genomes, reference_seq, assembly_seq,
             instance_list = [ref_inst, asm_inst]
         annotated_block.append((unique, synteny_block_id, instance_list))
 
+    prealigned = _batch_align_unique(annotated_block)
     variant: list[Variant] = []
     alignment: list[list[AlignmentRecord]] = []
     for block in annotated_block:
-        v, a = process_block(block)
+        v, a = process_block(block, prealigned)
         variant.extend(v)
         alignment.append(a)
 
