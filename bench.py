@@ -6,9 +6,9 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 Primary metric: k-mers/second through the FULL fused device enumeration
 (packed-key sort + bifurcation group scan + instance selection — the
 step that replaces the reference's divsufsort+LCP scan; see
-sibelia_tpu/index/enumeration.py::_enum_device_k32).  Ten iterations run
-inside one jitted lax.fori_loop with data-dependent perturbation so XLA
-cannot collapse them.
+sibelia_tpu/index/enumeration.py::_enum_device_k32).  Iterations chain
+data-dependently with a forced scalar sync per step, so nothing can be
+elided or overlapped.
 
 vs_baseline is MEASURED, not estimated: the native host enumeration
 kernel (sibelia_tpu/native/ranking.cpp — our C++ radix/prefix-doubling
@@ -48,7 +48,7 @@ def _device_enum_rate():
     from sibelia_tpu.index.enumeration import _enum_device_impl
 
     k = 30
-    n = 1 << 23
+    n = 1 << 22
     rng = np.random.default_rng(0)
     codes = jnp.asarray(rng.integers(1, 5, size=n, dtype=np.uint8))
 
@@ -177,7 +177,7 @@ def main():
         extra["host_baseline_Mkmers_s"] = round(host_rate / 1e6, 1)
     scaling = _scaling_table()
     if scaling:
-        extra["sharded_cpu_mesh_Mkmers_s"] = scaling
+        extra["sharded_virtual_mesh_on_2core_host_Mkmers_s"] = scaling
     e2e = _e2e_hpylori()
     if e2e:
         extra["e2e_hpylori"] = e2e

@@ -118,9 +118,17 @@ def _enum_device_impl(codes, k: int):
     key1, key2, next_sep = _packed_keys(codes, k)
     iota = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
     valid = (iota + k) <= next_sep
-    vflag = (~valid).astype(jnp.uint32)
-    sk1, sk2, _, order = jax.lax.sort((key1, key2, vflag, iota),
-                                      num_keys=3, is_stable=False)
+    # third sort key: invalid flag in the high bit (keeps genuine all-T
+    # windows ahead of padding in the sentinel cluster), neighbor chars
+    # in the low bits so the scan needs no post-sort gathers for them.
+    # Within a group every row is valid and only tie order shifts, which
+    # nothing downstream observes.
+    prev_all = jnp.concatenate([codes[:1], codes[:-1]]).astype(jnp.uint32)
+    next_all = jnp.take(codes, jnp.minimum(iota + k, n - 1)).astype(
+        jnp.uint32)
+    aux = (((~valid).astype(jnp.uint32) << 6) | (prev_all << 3) | next_all)
+    sk1, sk2, saux, order = jax.lax.sort((key1, key2, aux, iota),
+                                         num_keys=3, is_stable=False)
     nv = jnp.sum(valid.astype(jnp.int32))
     isval = iota < nv
     start = isval & jnp.concatenate([
@@ -131,8 +139,8 @@ def _enum_device_impl(codes, k: int):
     # dtype; int32 covers every n below 2^25 (the supergenome of a 1 GB
     # input needs int64)
     sdt = jnp.int32 if n < (1 << 25) else jnp.int64
-    prev_c = jnp.take(codes, jnp.maximum(order - 1, 0)).astype(sdt)
-    next_c = jnp.take(codes, jnp.minimum(order + k, n - 1)).astype(sdt)
+    prev_c = ((saux >> 3) & 7).astype(sdt)
+    next_c = (saux & 7).astype(sdt)
 
     # segment bounds: sidx = first slot, eidx = last VALID slot
     sidx = jax.lax.cummax(jnp.where(start, iota, 0))
@@ -146,19 +154,23 @@ def _enum_device_impl(codes, k: int):
     ordinal = jnp.cumsum(start.astype(sdt)) << 6
 
     def seg_max(v):
-        return jnp.take(jax.lax.cummax(ordinal | v), eidx_c) & 63
+        return jax.lax.cummax(ordinal | v) & 63
 
     def seg_min(v):
-        return 63 - (jnp.take(jax.lax.cummax(ordinal | (63 - v)),
-                              eidx_c) & 63)
+        return 63 - (jax.lax.cummax(ordinal | (63 - v)) & 63)
 
-    pmax, pmin = seg_max(prev_c), seg_min(prev_c)
-    nmax, nmin = seg_max(next_c), seg_min(next_c)
-    tmin = seg_min(jnp.minimum(prev_c, next_c))
+    # pack the four per-position stats, then ONE gather at segment ends
+    packed = (seg_max(prev_c) | (seg_min(prev_c) << 6)
+              | (seg_max(next_c) << 12) | (seg_min(next_c) << 18))
+    g = jnp.take(packed, eidx_c)
+    pmax, pmin = g & 63, (g >> 6) & 63
+    nmax, nmin = (g >> 12) & 63, (g >> 18) & 63
+    # bif rule (vertexenumeration.cpp:67-70); a member with a separator
+    # neighbor IS the terminal condition, so pmin==0 | nmin==0 doubles
+    # as "any terminal member"
     bif = ((pmax != pmin) | (pmin == 0) | (nmax != nmin) | (nmin == 0))
     n_members = eidx - sidx + 1
-    any_terminal = tmin == 0
-    counted = isval & bif & ((n_members > 1) | any_terminal)
+    counted = isval & bif & ((n_members > 1) | (pmin == 0) | (nmin == 0))
 
     # dense ids over counted groups, in sorted (== lexicographic) order
     id_cums = jnp.cumsum((start & counted).astype(jnp.int32))
