@@ -189,21 +189,30 @@ def align_pair_exact(a: bytes, b: bytes,
 
 
 def align_pairs_exact_batch(
-        pairs: list[tuple[bytes, bytes, str, str]]
+        pairs: list[tuple[bytes, bytes, str, str]],
+        processes: int = 1,
 ) -> list[tuple[str, str] | None]:
-    """Batched unique-pair alignment: anchors per pair on the host, then
-    every band DP in grouped vmapped device dispatches
-    (kernels/order_device.py).  Entries come back None when a pair needs
-    the host fallback (band too wide); rows are byte-identical to
-    align_pair_exact either way."""
+    """Batched unique-pair alignment: anchors per pair on the host
+    (fanned over a thread pool when processes > 1 — the native chaos
+    engine releases the GIL), then every band DP in grouped vmapped
+    device dispatches (kernels/order_device.py).  Entries come back None
+    when a pair needs the host fallback (band too wide); rows are
+    byte-identical to align_pair_exact either way."""
     from ..kernels.order_device import order_mfa_device_batch
-    jobs = []
-    for a, b, name_a, name_b in pairs:
+
+    def one(p):
+        a, b, name_a, name_b = p
         if isinstance(a, str):
             a = a.encode()
         if isinstance(b, str):
             b = b.encode()
-        anchors = rechaos(a, name_a, b, name_b)
-        jobs.append((a, name_a, b, name_b, anchors))
+        return (a, name_a, b, name_b, rechaos(a, name_a, b, name_b))
+
+    if processes > 1 and len(pairs) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=processes) as pool:
+            jobs = list(pool.map(one, pairs))
+    else:
+        jobs = [one(p) for p in pairs]
     res = order_mfa_device_batch(jobs)
     return [None if mfa is None else _mfa_rows(mfa) for mfa in res]

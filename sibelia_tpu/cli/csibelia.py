@@ -73,7 +73,8 @@ def run(argv: list[str]) -> int:
         print("Calling variants...", file=sys.stderr)
         variant_list, insertion_list, alignment_list = caller.call_variants(
             temp_dir, genomes, reference_seq, assembly_seq,
-            args.minblocksize, align=args.maf is not None)
+            args.minblocksize, align=args.maf is not None,
+            processes=args.processcount)
         variant_list.sort(key=caller.variant_key)
         vcf_file = (args.variant if args.outdir is None
                     else os.path.join(args.outdir, args.variant))

@@ -373,17 +373,24 @@ def process_block(block, prealigned=None):
     return ret, alignment
 
 
-def _batch_align_unique(annotated_block):
-    """Batch every unique pair's band DP into grouped device dispatches
-    (SURVEY §2e alignment batch engine).  Returns {block_id: (row0,
-    row1)} — possibly partial; process_block falls back per pair.  Empty
-    when the accelerator path is off or a non-exact aligner is chosen."""
+def _batch_align_unique(annotated_block, processes=1):
+    """Pre-align unique pairs out of the sequential block loop: anchors
+    (and, without an accelerator, the whole pair) fan out over a thread
+    pool — the in-process analogue of the reference's
+    multiprocessing.Pool (C-Sibelia.py:349); the native engines release
+    the GIL — and band DPs batch into grouped device dispatches (SURVEY
+    §2e alignment batch engine).  Returns {block_id: (row0, row1)} —
+    possibly partial; process_block falls back per pair.  Empty when
+    there is nothing to gain (serial host run) or a non-exact aligner is
+    chosen."""
     env = os.environ.get("SIBELIA_TPU_DEVICE_ORDER")
     use_dev = env != "0" if env is not None else None
     if use_dev is None:
         from ..core.platform import device_dispatch
         use_dev = device_dispatch()
-    if not use_dev or os.environ.get("SIBELIA_TPU_ALIGNER", "exact") != "exact":
+    if os.environ.get("SIBELIA_TPU_ALIGNER", "exact") != "exact":
+        return {}
+    if not use_dev and processes <= 1:
         return {}
     from ..align import lagan_exact
     if not lagan_exact.available():
@@ -399,7 +406,16 @@ def _batch_align_unique(annotated_block):
         pairs.append((ref_inst.seq, asm_inst.seq, name0, name1))
     if not pairs:
         return {}
-    rows = lagan_exact.align_pairs_exact_batch(pairs)
+    if use_dev:
+        rows = lagan_exact.align_pairs_exact_batch(pairs, processes)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=processes) as pool:
+            rows = list(pool.map(
+                lambda p: lagan_exact.align_pair_exact(
+                    p[0].encode() if isinstance(p[0], str) else p[0],
+                    p[1].encode() if isinstance(p[1], str) else p[1],
+                    p[2], p[3]), pairs))
     return {sbid: r for sbid, r in zip(ids, rows) if r is not None}
 
 
@@ -480,7 +496,7 @@ def _coords_key(file_name):
 
 
 def call_variants(directory, genomes, reference_seq, assembly_seq,
-                  min_block_size, align=False):
+                  min_block_size, align=False, processes=1):
     """Classify final-stage blocks, align and diff unique pairs, then
     turn spans uncovered across ALL stages into long indels / insertions
     (reference: C-Sibelia.py:343-427)."""
@@ -500,7 +516,7 @@ def call_variants(directory, genomes, reference_seq, assembly_seq,
             instance_list = [ref_inst, asm_inst]
         annotated_block.append((unique, synteny_block_id, instance_list))
 
-    prealigned = _batch_align_unique(annotated_block)
+    prealigned = _batch_align_unique(annotated_block, processes)
     variant: list[Variant] = []
     alignment: list[list[AlignmentRecord]] = []
     for block in annotated_block:
