@@ -30,7 +30,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from .ranking import (CODE_OF, SEP_CODE, _PAD_BUCKET, _packed_keys, encode,
-                      kmer_ranks, kmer_sorted_groups_jax)
+                      kmer_ranks)
 
 NO_BIFURCATION = (1 << 32) - 1  # reference: BifurcationId(-1), uint32
 

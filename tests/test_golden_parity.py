@@ -36,3 +36,26 @@ def test_h_pylori_loose_matches_reference(tmp_path):
     for fn in ("blocks_coords.txt", "coverage_report.txt",
                "genomes_permutations.txt"):
         assert (ref_out / fn).read_text() == (my_out / fn).read_text(), fn
+
+
+SA_DIR = "/root/reference/examples/C-Sibelia/Staphylococcus_aureus"
+
+
+def test_s_aureus_two_strain_loose_matches_reference(tmp_path):
+    """Two real S. aureus genomes (the bundled C-Sibelia pair; the
+    4-strain Sibelia example ships outputs only, no input FASTA) at
+    -s loose — a repeat-rich 5.6 MB differential case."""
+    from sibelia_tpu.cli.sibelia import run
+    fastas = [os.path.join(SA_DIR, f)
+              for f in ("NCTC8325.fasta", "RN4220.fasta")]
+    ref_out = tmp_path / "ref"
+    my_out = tmp_path / "mine"
+    ref_out.mkdir()
+    my_out.mkdir()
+    subprocess.run([REF_BIN, "-s", "loose", "-r", "-o", str(ref_out)]
+                   + fastas, check=True, capture_output=True)
+    with contextlib.redirect_stdout(io.StringIO()):
+        assert run(["-s", "loose", "-r", "-o", str(my_out)] + fastas) == 0
+    for fn in ("blocks_coords.txt", "coverage_report.txt",
+               "genomes_permutations.txt"):
+        assert (ref_out / fn).read_text() == (my_out / fn).read_text(), fn
