@@ -341,6 +341,16 @@ def enumerate_bifurcations(chromosomes: list[bytes], k: int,
                 (strands[0][1], strands[1][1]),
                 (strands[0][2], strands[1][2]))
 
+    # device path for k > 32: the doubling pipeline of the sharded
+    # enumeration on a single-device mesh IS the fully on-device k > 32
+    # enumeration (all collectives become local; byte-identical by the
+    # topology-invariance tests)
+    if _use_dev and k > 32 and n >= (1 << 14):
+        from ..parallel.sharded_enum import (enumerate_bifurcations_sharded,
+                                             production_mesh)
+        return enumerate_bifurcations_sharded(chromosomes, k,
+                                              production_mesh(1))
+
     # Candidate validity == the k-window crosses no separator; derived
     # from the next-separator index in one reverse cummin pass (cheaper
     # than per-position block lookups over the whole supergenome).

@@ -108,3 +108,15 @@ def test_sharded_pipeline_e2e_byte_identical(tmp_path, monkeypatch):
     for name in ("blocks_coords.txt", "coverage_report.txt",
                  "genomes_permutations.txt"):
         assert filecmp.cmp(out_host / name, out_mesh / name, shallow=False), name
+
+
+def test_forced_device_k_over_32_uses_single_device_pipeline(monkeypatch):
+    """k > 32 with device dispatch forced routes through the
+    single-device doubling pipeline and matches the host path."""
+    chroms = _genome(19, n=20000, muts=40, chroms=2)
+    for k in (40, 100):
+        host = enumerate_bifurcations(chroms, k)
+        monkeypatch.setenv("SIBELIA_TPU_FORCE_DEVICE_ENUM", "1")
+        dev = enumerate_bifurcations(chroms, k)
+        monkeypatch.delenv("SIBELIA_TPU_FORCE_DEVICE_ENUM")
+        _assert_equal(host, dev, k)
