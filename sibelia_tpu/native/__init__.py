@@ -387,6 +387,13 @@ def _lagan_ml(lib):
         lib.ml_run.argtypes = [ctypes.c_void_p]
         lib.ml_destroy.restype = None
         lib.ml_destroy.argtypes = [ctypes.c_void_p]
+        lib.pl_set_profile.restype = None
+        lib.pl_set_profile.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                       ctypes.c_char_p, ctypes.c_void_p,
+                                       ctypes.c_int]
+        lib.pl_run.restype = ctypes.c_void_p
+        lib.pl_run.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                               ctypes.c_void_p]
         lib._ml_configured = True
     return lib
 
@@ -406,6 +413,40 @@ def mlagan_native(seqs, names, pair_anchor_lines) -> str | None:
             for (s1s, s1e, s2s, s2e, score) in lines:
                 lib.ml_add_anchor(h, i, j, s1s, s1e, s2s, s2e, score)
         ptr = lib.ml_run(h)
+        return _take_string(lib, ptr)
+    finally:
+        lib.ml_destroy(h)
+
+
+def prolagan_native(seqs, names, profiles, pair_anchor_lines, tree) -> str | None:
+    """Run the native prolagan port (reference src/lagan/src/prolagan.c).
+
+    profiles: two lists of (file_index, gapped_row) in profile row order.
+    pair_anchor_lines[(i, j)]: cross-profile anchor lines, file order.
+    tree: the required phylogenetic tree string (prolagan.c:699-705 exits
+    without one).
+    """
+    lib = load_lagan()
+    if lib is None:
+        return None
+    _lagan_ml(lib)
+    h = lib.ml_create(len(seqs))
+    try:
+        for i, (s, nm) in enumerate(zip(seqs, names)):
+            lib.ml_set_seq(h, i, s, len(s), nm.encode("latin-1"))
+        pro_of = np.full(len(seqs), -1, dtype=np.int32)
+        for which, rows in enumerate(profiles):
+            members = np.array([m for m, _ in rows], dtype=np.int32)
+            pro_of[members] = which
+            joined = "\n".join(r for _, r in rows).encode("latin-1")
+            lib.pl_set_profile(h, which, joined, members.ctypes.data,
+                               len(rows))
+        if (pro_of < 0).any():
+            raise ValueError("sequence not found in either profile")
+        for (i, j), lines in pair_anchor_lines.items():
+            for (s1s, s1e, s2s, s2e, score) in lines:
+                lib.ml_add_anchor(h, i, j, s1s, s1e, s2s, s2e, score)
+        ptr = lib.pl_run(h, tree.encode("latin-1"), pro_of.ctypes.data)
         return _take_string(lib, ptr)
     finally:
         lib.ml_destroy(h)

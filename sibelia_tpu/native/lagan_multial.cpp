@@ -973,6 +973,12 @@ struct Context {
   std::vector<Align*> simaligns;               // index-addressed rows
   std::vector<std::vector<Hll*>> hlls;         // hlls[i][j], i < j
   Caches caches;
+  // prolagan profile inputs (prolagan.c:187-228): gapped rows + the file
+  // index of each row's member sequence, in profile row order.
+  std::vector<std::string> prof_rows[2];
+  std::vector<int> prof_members[2];
+  Align* profile[2] = {nullptr, nullptr};
+  bool name_missing = false;
 };
 
 Align* make_align_pair(Context& ctx, Align* a1, Align* a2, Hll* anchors,
@@ -1171,6 +1177,136 @@ int tree_to_rpn(Context& ctx, const char* treestr,
   return i;
 }
 
+// ---------------------------------------------------------------------------
+// prolagan: profile-profile progressive alignment (prolagan.c)
+// ---------------------------------------------------------------------------
+
+// readProfile + appendAlignProfile (prolagan.c:162-228): build an Align
+// from gapped FASTA rows; the per-row seq pointers are the UNGAPPED member
+// sequences (getSeqNumber replacement, prolagan.c:151-160).
+Align* mk_profile_align(Context& ctx, int which) {
+  const auto& rows = ctx.prof_rows[(size_t)which];
+  const auto& members = ctx.prof_members[(size_t)which];
+  Align* res = new Align;
+  res->score = 0;
+  res->numseq = 0;
+  res->index = 32;
+  // VER_MLAGAN read prepends 'N'; algnlen includes it (filebuffer.c:131-139)
+  res->algnlen = (int)rows[0].size() + 1;
+  res->algn.assign((size_t)res->algnlen + 1, 0);
+  for (int j = 0; j < CNTS_LEN; ++j)
+    res->cnts[j].assign((size_t)res->algnlen + 1, 0);
+  for (size_t r = 0; r < rows.size(); ++r) {
+    std::string lets = "N";
+    for (char raw : rows[r]) {
+      char c = (char)toupper((unsigned char)raw);
+      // FileBuffer alphabet "ATCGN-." (filebuffer.c:10); others become N
+      if (!strchr("ATCGN-.", c)) c = 'N';
+      lets.push_back(c);
+    }
+    // appendAlignProfile (prolagan.c:162-185); columns 1..algnlen-1
+    for (int i = 1; i < res->algnlen; ++i) {
+      if (lets[(size_t)i] != '-') {
+        int k = let_index(lets[(size_t)i]);
+        if (k < 4) res->cnts[k][(size_t)i]++;
+        res->algn[(size_t)i] |= (1ULL << r);
+        if (lets[(size_t)i - 1] == '-') res->cnts[CNTS_GE][(size_t)i]++;
+      } else if (lets[(size_t)i - 1] != '-') {
+        res->cnts[CNTS_GS][(size_t)i]++;
+      } else {
+        res->cnts[CNTS_GC][(size_t)i]++;
+      }
+    }
+    res->seqs.push_back(&ctx.seqs[(size_t)members[r]]);
+    res->numseq++;
+  }
+  for (int m : members)
+    if (res->index > m) res->index = m;  // prolagan.c:1003,1013
+  return res;
+}
+
+// processAnchors (prolagan.c:537-562): merge the anchor graph as if the
+// operands were being aligned — orderAligns + doReanchorHLLs only; no DP
+// happens until the final profile-profile merge.
+Align* process_anchors_pl(Context& ctx, Align* a1, Align* a2) {
+  Align *first, *second;
+  int index, hllindex;
+  if (a1->index > a2->index) {
+    first = a2; second = a1;
+    index = a2->index; hllindex = a1->index;
+  } else {
+    first = a1; second = a2;
+    index = a1->index; hllindex = a2->index;
+  }
+  (void)first; (void)second;
+  int n = ctx.nseq;
+  // doReanchorHLLs (prolagan.c:497-535)
+  for (int i = 0; i < index; ++i) {
+    ctx.hlls[(size_t)i][(size_t)index] = reanchor_hll(
+        merge_hlls(ctx.hlls[(size_t)i][(size_t)index], 0,
+                   ctx.hlls[(size_t)i][(size_t)hllindex], 0));
+    ctx.hlls[(size_t)i][(size_t)hllindex] = nullptr;
+  }
+  for (int i = index + 1; i < hllindex; ++i) {
+    ctx.hlls[(size_t)index][(size_t)i] = reanchor_hll(
+        merge_hlls(ctx.hlls[(size_t)index][(size_t)i], 0,
+                   ctx.hlls[(size_t)i][(size_t)hllindex], 1));
+    ctx.hlls[(size_t)i][(size_t)hllindex] = nullptr;
+  }
+  for (int i = hllindex + 1; i < n; ++i) {
+    ctx.hlls[(size_t)index][(size_t)i] = reanchor_hll(
+        merge_hlls(ctx.hlls[(size_t)index][(size_t)i], 0,
+                   ctx.hlls[(size_t)hllindex][(size_t)i], 0));
+    ctx.hlls[(size_t)hllindex][(size_t)i] = nullptr;
+  }
+  Align* result = new Align;  // dummy carrier: only ->index is consumed
+  result->score = -1;
+  result->numseq = a1->numseq + a2->numseq;
+  result->algnlen = -1;
+  result->index = index;
+  return result;
+}
+
+// prolagan's findAlignByName matches the FIRST WORD of the sequence name
+// exactly (starts_with, prolagan.c:120-128), unlike mlagan's strstr.
+Align* pl_find_align_by_name(Context& ctx, const std::string& name) {
+  for (int i = 0; i < ctx.nseq; ++i) {
+    const std::string& full = ctx.simaligns[(size_t)i]->seqs[0]->name;
+    size_t sp = full.find_first_of(" \t");
+    std::string first = (sp == std::string::npos) ? full : full.substr(0, sp);
+    if (first == name) return ctx.simaligns[(size_t)i];
+  }
+  ctx.name_missing = true;  // reference exits(2); surfaced as null result
+  return nullptr;
+}
+
+int pl_tree_to_rpn(Context& ctx, const char* treestr,
+                   std::vector<Align*>& stack, int* depth) {
+  int i = 0;
+  while (treestr[i] != '(') ++i;
+  ++i;
+  while (treestr[i] != ')' && treestr[i] != '\0') {
+    if (treestr[i] == '(') {
+      i += pl_tree_to_rpn(ctx, treestr + i, stack, depth);
+    } else if (isalnum((unsigned char)treestr[i])) {
+      std::string buf;
+      while (!isspace((unsigned char)treestr[i]) && treestr[i] != '(' &&
+             treestr[i] != ')')
+        buf.push_back(treestr[i++]);
+      stack[(size_t)(*depth)++] = pl_find_align_by_name(ctx, buf);
+    } else if (treestr[i] == ')') {
+      break;
+    } else {
+      ++i;
+    }
+  }
+  if (treestr[i] == ')') {
+    ++(*depth);
+    return i + 1;
+  }
+  return i;
+}
+
 std::string print_fasta_align(const Align& a) {
   std::string out;
   std::vector<int> inds((size_t)a.numseq, 1);
@@ -1264,5 +1400,96 @@ char* ml_run(void* h) {
 }
 
 void ml_destroy(void* h) { delete (lagan_ml::Context*)h; }
+
+// ---------------------------------------------------------------------------
+// prolagan C surface: two gapped profiles + cross-profile anchors + tree
+// (prolagan.c main, :951-1114)
+// ---------------------------------------------------------------------------
+
+// which: 0/1. rows: '\n'-joined gapped FASTA rows in profile row order.
+// members[r]: file index of row r's sequence (getSeqNumber replacement).
+void pl_set_profile(void* h, int which, const char* rows, const int* members,
+                    int nrows) {
+  auto* ctx = (lagan_ml::Context*)h;
+  ctx->prof_rows[which].clear();
+  ctx->prof_members[which].assign(members, members + nrows);
+  const char* p = rows;
+  for (int r = 0; r < nrows; ++r) {
+    const char* e = strchr(p, '\n');
+    if (!e) e = p + strlen(p);
+    ctx->prof_rows[which].emplace_back(p, e);
+    p = (*e == '\n') ? e + 1 : e;
+  }
+}
+
+// Run the prolagan flow: remap cross-profile anchors into profile-column
+// coordinates (prolagan.c:1030-1047), collapse the anchor graph along the
+// tree (processAnchors), then one profile-profile DP (processAlign).
+// pro_of[i] must give the profile (0/1) owning file sequence i.
+char* pl_run(void* h, const char* treestr, const int* pro_of) {
+  auto* ctx = (lagan_ml::Context*)h;
+  int n = ctx->nseq;
+  for (int i = 0; i < n; ++i) {
+    lagan_ml::Align* a = lagan_ml::mk_sim_align(&ctx->seqs[(size_t)i]);
+    a->index = i;
+    ctx->simaligns.push_back(a);
+  }
+  lagan_ml::Align* p1 = lagan_ml::mk_profile_align(*ctx, 0);
+  lagan_ml::Align* p2 = lagan_ml::mk_profile_align(*ctx, 1);
+  // row number of file seq i within its profile (pro1ptr/pro2ptr)
+  std::vector<int> rownum((size_t)n, -1);
+  for (int w = 0; w < 2; ++w)
+    for (size_t r = 0; r < ctx->prof_members[w].size(); ++r)
+      rownum[(size_t)ctx->prof_members[w][(size_t)r]] = (int)r;
+  // remap each cross-profile anchor list through both profiles' gap
+  // structure. s1 axis belongs to the lower file index; reference's
+  // else-branch indexing slip (prolagan.c:1045 uses the wrong loop
+  // counter, UB when the profiles interleave) is corrected to the row of
+  // the sequence actually being remapped.
+  for (int i = 0; i < n - 1; ++i) {
+    for (int j = i + 1; j < n; ++j) {
+      lagan_ml::Hll*& l = ctx->hlls[(size_t)i][(size_t)j];
+      if (!l || pro_of[i] == pro_of[j]) continue;
+      l = lagan_ml::remap_hlls(l, 0, *(pro_of[i] ? p2 : p1), rownum[(size_t)i]);
+      l = lagan_ml::remap_hlls(l, 1, *(pro_of[j] ? p2 : p1), rownum[(size_t)j]);
+    }
+  }
+  // treeToRPN + procStack (prolagan.c:628-697): every interior node but
+  // the last merges anchors; the last aligns the two profiles.
+  std::vector<lagan_ml::Align*> rpn((size_t)(lagan_ml::MAX_SEQ * 2), nullptr);
+  int depth = 0;
+  lagan_ml::pl_tree_to_rpn(*ctx, treestr, rpn, &depth);
+  if (ctx->name_missing || depth < 2) return nullptr;
+  std::vector<lagan_ml::Align*> stack((size_t)lagan_ml::MAX_SEQ, nullptr);
+  int sp = 0;
+  for (int i = 0; i < depth - 1; ++i) {
+    if (rpn[(size_t)i]) {
+      stack[(size_t)sp++] = rpn[(size_t)i];
+    } else {
+      if (sp < 2) return nullptr;
+      stack[(size_t)(sp - 2)] = lagan_ml::process_anchors_pl(
+          *ctx, stack[(size_t)(sp - 2)], stack[(size_t)(sp - 1)]);
+      stack[(size_t)--sp] = nullptr;
+    }
+  }
+  if (rpn[(size_t)(depth - 1)] != nullptr) return nullptr;  // malformed tree
+  lagan_ml::Align *first, *second;
+  int index, hllindex;
+  if (p1->index > p2->index) {
+    first = p2; second = p1;
+    index = p2->index; hllindex = p1->index;
+  } else {
+    first = p1; second = p2;
+    index = p1->index; hllindex = p2->index;
+  }
+  std::vector<uint8_t> uni;
+  lagan_ml::Align* final_aln = lagan_ml::make_align_pair(
+      *ctx, first, second, ctx->hlls[(size_t)index][(size_t)hllindex], &uni);
+  std::string out = lagan_ml::print_fasta_align(*final_aln);
+  char* res = (char*)std::malloc(out.size() + 1);
+  std::memcpy(res, out.data(), out.size());
+  res[out.size()] = 0;
+  return res;
+}
 
 }  // extern "C"
