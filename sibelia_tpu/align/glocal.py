@@ -554,10 +554,23 @@ def parse_hits(text: str) -> list[Frag]:
 
 def glocal_chain(hits_text: str, score_text: str = DEFAULT_SCORE) -> str:
     """stdout of ``glocal hits score`` for the given CHAOS hit list."""
+    out, chain = _run_chain(hits_text, score_text)
+    for cur in chain:
+        strand = "+" if cur.strand == POSITIVE else "-"
+        out.append(
+            f"({cur.s1s} {cur.s1e})=({cur.s2s - cur.base} "
+            f"{cur.s2e - cur.base}) {float(cur.score):f} {strand} "
+            f"[{float(cur.total):f}] s1:{cur.s1name} s2: {cur.s2name}\n")
+    return "".join(out)
+
+
+def _run_chain(hits_text: str,
+               score_text: str) -> tuple[list[str], list[Frag]]:
+    """Run the sweep; returns (diagnostic lines, best chain last-first)."""
     frags = parse_hits(hits_text)
     g = Glocal(parse_score_file(score_text))
     if not frags:
-        return ""
+        return [], []
     # contig bases in name-sorted order (io.cpp:252-276)
     maxes: dict[str, int] = {}
     for fr in frags:
@@ -659,14 +672,82 @@ def glocal_chain(hits_text: str, score_text: str = DEFAULT_SCORE) -> str:
             else:
                 g.handle_intersection()
 
-    out = g.out
+    chain = []
     cur = best
     while cur is not None:
         if cur.kind == 0:
-            strand = "+" if cur.strand == POSITIVE else "-"
-            out.append(
-                f"({cur.s1s} {cur.s1e})=({cur.s2s - cur.base} "
-                f"{cur.s2e - cur.base}) {float(cur.score):f} {strand} "
-                f"[{float(cur.total):f}] s1:{cur.s1name} s2: {cur.s2name}\n")
+            chain.append(cur)
         cur = cur.back
-    return "".join(out)
+    return g.out, chain
+
+
+_RC = bytes.maketrans(b"ACGTacgt", b"TGCAtgca")
+
+
+def slagan_pairwise(seq1: bytes, name1: str, seq2: bytes, name2: str, *,
+                    wl: int = 11, nd: int = 1, co: int = 10,
+                    rsc: int = 2250,
+                    score_text: str = DEFAULT_SCORE) -> list[dict]:
+    """SLAGAN-style pairwise glocal map (capability port of the
+    slagan.pl driver flow, src/lagan/slagan.pl:86-140).
+
+    Both-strand CHAOS hits (chaos -b: the minus strand searched on the
+    reverse complement, fchaos.c) are chained by the glocal DP, the
+    chain is split into strand- and monotonicity-consistent regions
+    (the role supermap.pl's M1/M2/DM clustering plays in the reference
+    pipeline), and each region is aligned with the exact LAGAN engine.
+    Returns ascending-seq1 regions:
+    ``{"s1": (b1, e1), "s2": (b2, e2), "strand", "rows": (row1, row2)}``
+    with 1-based inclusive bounds, minus regions aligned against the
+    reverse complement of the seq2 span.
+    """
+    from ..native import lagan_chaos
+    from .lagan_exact import align_pair_exact
+
+    pairs = f"-s1 1 {len(seq1)} -s2 1 {len(seq2)}\n"
+    hits = lagan_chaos(seq1, name1, seq2, name2, pairs,
+                       wl, nd, co, rsc, gfc=False, ext=True) or ""
+    rc2 = seq2.translate(_RC)[::-1]
+    minus = lagan_chaos(seq1, name1, rc2, name2, pairs,
+                        wl, nd, co, rsc, gfc=False, ext=True) or ""
+    n2 = len(seq2)
+    lines = [l for l in hits.split("\n") if l]
+    for line in minus.split("\n"):
+        m = _HIT_RE.match(line)
+        if not m:
+            continue
+        s2s, s2e = n2 + 1 - int(m.group(5)), n2 + 1 - int(m.group(6))
+        lines.append(f"{m.group(1)} {m.group(2)} {m.group(3)}; "
+                     f"{m.group(4)} {s2s} {s2e}; "
+                     f"score = {m.group(7)} (-)")
+    _, chain = _run_chain("\n".join(lines) + "\n", score_text)
+    chain.reverse()  # ascending seq1
+
+    regions: list[list[Frag]] = []
+    for fr in chain:
+        grp = regions[-1] if regions else None
+        if grp is not None and grp[-1].strand == fr.strand:
+            prev = grp[-1]
+            if fr.strand == POSITIVE and fr.s2s >= prev.s2e:
+                grp.append(fr)
+                continue
+            if fr.strand == NEGATIVE and fr.s2s <= prev.s2e:
+                grp.append(fr)
+                continue
+        regions.append([fr])
+
+    out = []
+    for grp in regions:
+        b1 = min(f.s1s for f in grp)
+        e1 = max(f.s1e for f in grp)
+        b2 = min(min(f.s2s, f.s2e) - f.base for f in grp)
+        e2 = max(max(f.s2s, f.s2e) - f.base for f in grp)
+        strand = "+" if grp[0].strand == POSITIVE else "-"
+        sub1 = seq1[b1 - 1:e1]
+        sub2 = seq2[b2 - 1:e2]
+        if strand == "-":
+            sub2 = sub2.translate(_RC)[::-1]
+        rows = align_pair_exact(sub1, sub2)
+        out.append({"s1": (b1, e1), "s2": (b2, e2), "strand": strand,
+                    "rows": rows})
+    return out

@@ -119,6 +119,25 @@ def _gen(seed):
     return "\n".join(lines) + "\n"
 
 
+def test_slagan_pairwise_recovers_inversion():
+    from sibelia_tpu.align import lagan_exact
+    from sibelia_tpu.align.glocal import slagan_pairwise
+    if not lagan_exact.available():
+        pytest.skip("native engine unavailable")
+    rng = random.Random(9)
+    a = "".join(rng.choice("ACGT") for _ in range(3000))
+    rc = a[1060:1940][::-1].translate(str.maketrans("ACGT", "TGCA"))
+    spacer = lambda: "".join(rng.choice("ACGT") for _ in range(60))
+    b = a[:1000] + spacer() + rc + spacer() + a[2000:]
+    regs = slagan_pairwise(a.encode(), "sA", b.encode(), "sB")
+    assert [r["strand"] for r in regs] == ["+", "-", "+"]
+    assert regs[0]["s1"][0] == 1 and regs[-1]["s1"][1] == 3000
+    for r in regs:
+        r1, r2 = r["rows"]
+        ident = sum(x == y for x, y in zip(r1, r2)) / len(r1)
+        assert ident > 0.98
+
+
 @needs_oracle
 def test_glocal_differential(tmp_path):
     matched = 0
