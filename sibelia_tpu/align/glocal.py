@@ -684,25 +684,31 @@ def _run_chain(hits_text: str,
 _RC = bytes.maketrans(b"ACGTacgt", b"TGCAtgca")
 
 
+_SMAP_RE = re.compile(
+    r"(\S+) (\d+) (\d+)   (\S+) (\d+) (\d+) ([+-]) \((M1|DM|M2), (\d+)")
+
+
 def slagan_pairwise(seq1: bytes, name1: str, seq2: bytes, name2: str, *,
                     wl: int = 11, nd: int = 1, co: int = 10,
                     rsc: int = 2250,
                     score_text: str = DEFAULT_SCORE) -> list[dict]:
-    """SLAGAN-style pairwise glocal map (capability port of the
-    slagan.pl driver flow, src/lagan/slagan.pl:86-140).
+    """SLAGAN pairwise glocal alignment map (the slagan.pl driver flow,
+    src/lagan/slagan.pl:86-150).
 
     Both-strand CHAOS hits (chaos -b: the minus strand searched on the
-    reverse complement, fchaos.c) are chained by the glocal DP, the
-    chain is split into strand- and monotonicity-consistent regions
-    (the role supermap.pl's M1/M2/DM clustering plays in the reference
-    pipeline), and each region is aligned with the exact LAGAN engine.
-    Returns ascending-seq1 regions:
-    ``{"s1": (b1, e1), "s2": (b2, e2), "strand", "rows": (row1, row2)}``
-    with 1-based inclusive bounds, minus regions aligned against the
-    reverse complement of the seq2 span.
+    reverse complement, fchaos.c) go through the supermap pipeline
+    (align/supermap.py — glocal chaining + M1/DM/M2 region clustering,
+    byte-parity-verified against supermap.pl), and each region is
+    aligned with the exact LAGAN engine.  Returns regions in .smap
+    order: ``{"s1": (b1, e1), "s2": (b2, e2), "strand", "type",
+    "n_aligns", "rows": (row1, row2)}`` with 1-based inclusive bounds,
+    minus regions aligned against the reverse complement of the seq2
+    span.  Empty when every sequence's chain total falls below the
+    score file's unrelated penalty (the reference driver dies there).
     """
     from ..native import lagan_chaos
     from .lagan_exact import align_pair_exact
+    from .supermap import supermap
 
     pairs = f"-s1 1 {len(seq1)} -s2 1 {len(seq2)}\n"
     hits = lagan_chaos(seq1, name1, seq2, name2, pairs,
@@ -720,34 +726,26 @@ def slagan_pairwise(seq1: bytes, name1: str, seq2: bytes, name2: str, *,
         lines.append(f"{m.group(1)} {m.group(2)} {m.group(3)}; "
                      f"{m.group(4)} {s2s} {s2e}; "
                      f"score = {m.group(7)} (-)")
-    _, chain = _run_chain("\n".join(lines) + "\n", score_text)
-    chain.reverse()  # ascending seq1
-
-    regions: list[list[Frag]] = []
-    for fr in chain:
-        grp = regions[-1] if regions else None
-        if grp is not None and grp[-1].strand == fr.strand:
-            prev = grp[-1]
-            if fr.strand == POSITIVE and fr.s2s >= prev.s2e:
-                grp.append(fr)
-                continue
-            if fr.strand == NEGATIVE and fr.s2s <= prev.s2e:
-                grp.append(fr)
-                continue
-        regions.append([fr])
+    try:
+        smap = supermap("\n".join(lines) + "\n", {name1: len(seq1)},
+                        {name2: len(seq2)}, score_text=score_text)
+    except RuntimeError:
+        return []
 
     out = []
-    for grp in regions:
-        b1 = min(f.s1s for f in grp)
-        e1 = max(f.s1e for f in grp)
-        b2 = min(min(f.s2s, f.s2e) - f.base for f in grp)
-        e2 = max(max(f.s2s, f.s2e) - f.base for f in grp)
-        strand = "+" if grp[0].strand == POSITIVE else "-"
+    for line in smap.split("\n"):
+        m = _SMAP_RE.match(line)
+        if not m:
+            continue
+        b1, e1 = int(m.group(2)), int(m.group(3))
+        b2, e2 = int(m.group(5)), int(m.group(6))
+        strand = m.group(7)
         sub1 = seq1[b1 - 1:e1]
         sub2 = seq2[b2 - 1:e2]
         if strand == "-":
             sub2 = sub2.translate(_RC)[::-1]
         rows = align_pair_exact(sub1, sub2)
         out.append({"s1": (b1, e1), "s2": (b2, e2), "strand": strand,
+                    "type": m.group(8), "n_aligns": int(m.group(9)),
                     "rows": rows})
     return out

