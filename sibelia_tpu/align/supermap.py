@@ -22,8 +22,8 @@ Quirks mirrored from the reference: GNU-sort last-resort whole-line
 tie-breaks; the never-assigned $cur_seq in expandSeq2 making the
 "correct upper expansion" branch unconditional; expSeq1Reg's dead
 sequence-change branch; Perl string truthiness ("0" fields mark an
-align as bad); trailing-space passthrough rows.  Single-sequence
-"bacteria" flip mode (-proflip) is ported but not oracle-verified.
+align as bad); trailing-space passthrough rows.  The single-sequence
+"bacteria" flip mode (-proflip) is ported and oracle-verified too.
 """
 from __future__ import annotations
 

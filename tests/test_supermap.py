@@ -107,8 +107,7 @@ def _gen(seed):
     return "\n".join(lines) + "\n", sizes1, sizes2
 
 
-@needs_oracle
-def test_supermap_differential(tmp_path):
+def _make_lagan_dir(tmp_path):
     lagan_dir = tmp_path / "lagan"
     lagan_dir.mkdir()
     wrapper = lagan_dir / "glocal"
@@ -127,7 +126,20 @@ def test_supermap_differential(tmp_path):
         open("/root/reference/src/lagan/src/glocal/default.score").read())
     (lagan_dir / "Utils.pm").write_text(
         open("/root/reference/src/lagan/Utils.pm").read())
+    return lagan_dir
 
+
+def _run_reference(lagan_dir, d, extra=()):
+    env = dict(os.environ, LAGAN_DIR=str(lagan_dir), LC_ALL="C")
+    return subprocess.run(
+        ["perl", SUPERMAP_PL, "-sizes1=s1", "-sizes2=s2", "hits.txt",
+         "-no_clust_run", "-f", "-outfile=out.smap", "-q", *extra],
+        cwd=str(d), env=env, capture_output=True, timeout=300)
+
+
+@needs_oracle
+def test_supermap_differential(tmp_path):
+    lagan_dir = _make_lagan_dir(tmp_path)
     matched = 0
     for seed in range(12):
         hits, sizes1, sizes2 = _gen(7000 + seed)
@@ -138,14 +150,42 @@ def test_supermap_differential(tmp_path):
             "".join(f"{k} {v}\n" for k, v in sizes1.items()))
         (d / "s2").write_text(
             "".join(f"{k} {v}\n" for k, v in sizes2.items()))
-        env = dict(os.environ, LAGAN_DIR=str(lagan_dir), LC_ALL="C")
-        r = subprocess.run(
-            ["perl", SUPERMAP_PL, "-sizes1=s1", "-sizes2=s2", "hits.txt",
-             "-no_clust_run", "-f", "-outfile=out.smap", "-q"],
-            cwd=str(d), env=env, capture_output=True, timeout=300)
+        r = _run_reference(lagan_dir, d)
         if r.returncode != 0:
             continue
         ref = (d / "out.smap").read_text()
         assert supermap(hits, sizes1, sizes2) == ref, seed
         matched += 1
     assert matched >= 8
+
+
+@needs_oracle
+def test_supermap_bacteria_flip_differential(tmp_path):
+    lagan_dir = _make_lagan_dir(tmp_path)
+    matched = 0
+    for seed in range(6):
+        rng = random.Random(500 + seed)
+        sz1 = rng.randrange(100000, 200000)
+        sz2 = rng.randrange(100000, 200000)
+        lines = []
+        for _ in range(rng.randrange(10, 40)):
+            ln = rng.randrange(100, 2000)
+            s1 = rng.randrange(1, sz1 - ln - 1)
+            s2 = rng.randrange(1, sz2 - ln - 1)
+            sc = round(rng.uniform(2000, 50000), 1)
+            lines.append(f"chrA {s1} {s1 + ln}; chrB {s2} {s2 + ln}; "
+                         f"score = {sc} ({rng.choice('+-')})")
+        hits = "\n".join(lines) + "\n"
+        d = tmp_path / f"flip{seed}"
+        d.mkdir()
+        (d / "hits.txt").write_text(hits)
+        (d / "s1").write_text(f"chrA {sz1}\n")
+        (d / "s2").write_text(f"chrB {sz2}\n")
+        r = _run_reference(lagan_dir, d, extra=("-bacteria",))
+        if r.returncode != 0:
+            continue
+        ref = (d / "out.smap").read_text()
+        assert supermap(hits, {"chrA": sz1}, {"chrB": sz2},
+                        proflip=True) == ref, seed
+        matched += 1
+    assert matched >= 4
