@@ -37,6 +37,7 @@ import numpy as np
 GAP_START = -400  # order.c kGapstart
 GAP_CONT = -25    # order.c kGapcont
 DUMMY = np.int32(-(2 << 30) + (1 << 28))  # INT_MIN + (1 << 28)
+_ROWS_BUDGET_BYTES = 256 << 20  # pointer-row buffer cap per pair
 
 # char codes: 0 other/NUL, 1..4 ACGT, 5 '.', 6 N, 7 '-'
 _CODE = np.zeros(256, np.int32)
@@ -191,7 +192,13 @@ def _prepare_job(lib, seq1: bytes, seq2: bytes, anchors_text: str,
     lib.le_order_dims(h, dims)
     d1, d2, nd, maxw = (int(dims[0]), int(dims[1]), int(dims[2]),
                         int(dims[3]))
-    if maxw > max_band_width or nd < 2:
+    # gate on the pointer-row buffer (nd_pad x wmax uint8), not just the
+    # band width: wide inter-anchor squares stay on device as long as
+    # the traceback buffer fits the budget
+    wmax_p = 1 << max(4, int(maxw - 1).bit_length())
+    ndp = _bucket(nd - 1, 4096) if nd > 1 else 0
+    if (maxw > max_band_width or nd < 2
+            or wmax_p * ndp > _ROWS_BUDGET_BYTES):
         lib.le_order_release(h)
         return None
     starts = np.empty(nd, np.int32)
@@ -266,7 +273,7 @@ def _finish(lib, job: _Job, rows: np.ndarray, name1: str,
 
 def order_mfa_device(seq1: bytes, name1: str, seq2: bytes, name2: str,
                      anchors_text: str,
-                     max_band_width: int = 1024) -> str | None:
+                     max_band_width: int = 8192) -> str | None:
     """Device twin of native lagan_order: same -mfa text, or None when
     the native library is unavailable or the band is too wide for the
     padded layout (caller falls back to the host DP)."""
@@ -288,7 +295,7 @@ def order_mfa_device(seq1: bytes, name1: str, seq2: bytes, name2: str,
 
 
 def order_mfa_device_batch(jobs: list[tuple[bytes, str, bytes, str, str]],
-                           max_band_width: int = 1024) -> list[str | None]:
+                           max_band_width: int = 8192) -> list[str | None]:
     """Batched device order: jobs = [(seq1, name1, seq2, name2,
     anchors_text)].  Pairs are grouped by padded (band width, diagonal
     count, sequence length) shape and each group runs as ONE vmapped
