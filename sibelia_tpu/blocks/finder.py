@@ -40,12 +40,21 @@ class BlockFinder:
         seq = MutableSequence(self.raw_seq, self.original_pos)
         enum = randomize_and_enumerate(seq, k, self.rand, min_branch)
         ret = None
-        if simplify_mod.TRACE is None:
+        check = os.environ.get("SIBELIA_TPU_CHECK") == "1"
+        if simplify_mod.TRACE is None and not check:
             ret = simplify_native(seq, enum, k, min_branch, max_iterations,
                                   candidates=enum.candidates)
         if ret is None:
             store = store_from_enum(seq, enum)
-            ret = simplify_graph(seq, store, k, min_branch, max_iterations, progress)
+            checker = None
+            if check:
+                # runtime invariant mode (IndexedSequence::Test twin)
+                from ..graph.indexed import check_invariants, kmer_id_map
+                idmap = kmer_id_map(seq, enum, k)
+                check_invariants(seq, store, k, idmap)
+                checker = lambda: check_invariants(seq, store, k, idmap)
+            ret = simplify_graph(seq, store, k, min_branch, max_iterations,
+                                 progress, invariant_check=checker)
         self.raw_seq = seq.to_strings()
         self.original_pos = [op.copy() for op in seq.origpos]
         return ret

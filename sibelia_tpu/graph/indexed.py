@@ -89,3 +89,41 @@ def store_from_enum(seq: MutableSequence, enum) -> BifStore:
         node_base += m
     store.n_nodes = total
     return store
+
+
+def kmer_id_map(seq: MutableSequence, enum, k: int) -> dict[bytes, int]:
+    """KMerBifMap twin (reference idMap_, indexedsequence.cpp:50-66):
+    k-mer text -> bifurcation id, built from the enumeration's stored
+    instances.  Consumed by :func:`check_invariants`."""
+    idmap: dict[bytes, int] = {}
+    lens = [seq.chr_len(c) for c in range(seq.n_chr)]
+    for strand in (0, 1):
+        chrs = enum.chr[strand].astype(np.int64)
+        poss = enum.pos[strand].astype(np.int64)
+        bids = enum.bif_id[strand].astype(np.int64)
+        for c, p, b in zip(chrs.tolist(), poss.tolist(), bids.tolist()):
+            coord = p if strand == 0 else lens[c] - 1 - p
+            idmap[seq.spell(strand, c, coord, k)] = int(b)
+    return idmap
+
+
+def check_invariants(seq: MutableSequence, store: BifStore, k: int,
+                     idmap: dict[bytes, int]) -> None:
+    """IndexedSequence::Test twin (indexedsequence.cpp:82-103, the
+    reference's _DEBUG-only runtime invariant): every k-window on both
+    strands must carry exactly the bifurcation id its current spelled
+    text maps to.  Raises AssertionError on divergence."""
+    from .bifstore import NO_BIFURCATION
+    for strand in (0, 1):
+        for c in range(seq.n_chr):
+            n = seq.chr_len(c)
+            if n < k:
+                continue
+            rng = range(0, n - k + 1) if strand == 0 else range(k - 1, n)
+            for pos in rng:
+                actual = store.get_bif(strand, c, pos)
+                must = idmap.get(seq.spell(strand, c, pos, k),
+                                 NO_BIFURCATION)
+                assert actual == must, (
+                    f"bif invariant violated at strand={strand} chr={c} "
+                    f"pos={pos}: stored {actual}, k-mer maps to {must}")

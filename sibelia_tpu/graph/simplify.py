@@ -306,16 +306,23 @@ def remove_bulges(seq: MutableSequence, store: BifStore, k: int,
 
 def simplify_graph(seq: MutableSequence, store: BifStore, k: int,
                    min_branch: int, max_iterations: int,
-                   progress=None) -> int:
+                   progress=None, invariant_check=None) -> int:
     """Reference: src/blockfinder.cpp:16-51. Note the reference accumulates
     `totalBulges` across iterations without resetting, so once any bulge is
-    found the loop always runs the full max_iterations."""
+    found the loop always runs the full max_iterations.
+
+    invariant_check: optional callable run after every vertex whose
+    bulge removal collapsed something — the _DEBUG-mode Test() hook
+    (bulgeremoval.cpp:301,324); wire with SIBELIA_TPU_CHECK=1."""
     total_bulges = 0
     iterations = 0
     while True:
         iterations += 1
         for bif_id in range(store.max_id + 1):
-            total_bulges += remove_bulges(seq, store, k, min_branch, bif_id)
+            removed = remove_bulges(seq, store, k, min_branch, bif_id)
+            total_bulges += removed
+            if removed and invariant_check is not None:
+                invariant_check()
         if not (total_bulges > 0 and iterations < max_iterations):
             break
     return total_bulges

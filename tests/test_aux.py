@@ -246,3 +246,46 @@ def test_csibelia_contig_set_mode(tmp_path):
     assert "SVTYPE=BND" not in vcf2
     unmapped = (out2 / "unmapped.fasta").read_text()
     assert 'Seq="ctg_novel"' in unmapped
+
+
+def test_invariant_check_mode(monkeypatch):
+    """SIBELIA_TPU_CHECK=1 runs the IndexedSequence::Test twin after
+    every collapsing vertex; a poisoned store must be caught."""
+    import random
+
+    from sibelia_tpu.blocks.finder import BlockFinder
+    from sibelia_tpu.graph.indexed import (build_index, check_invariants,
+                                           kmer_id_map,
+                                           randomize_and_enumerate,
+                                           store_from_enum)
+    from sibelia_tpu.graph.sequence import MutableSequence
+
+    rng = random.Random(3)
+    base = "".join(rng.choice("ACGT") for _ in range(3000))
+
+    def mut(s):
+        out = []
+        for ch in s:
+            r = rng.random()
+            if r < 0.02:
+                out.append(rng.choice("ACGT"))
+            elif r < 0.03:
+                out.append(ch + rng.choice("ACGT"))
+            else:
+                out.append(ch)
+        return "".join(out)
+
+    recs = [FASTARecord(base, "g1", 0), FASTARecord(mut(base), "g2", 1)]
+    monkeypatch.setenv("SIBELIA_TPU_CHECK", "1")
+    finder = BlockFinder(recs)
+    assert finder.perform_graph_simplifications(25, 50, 4) > 0
+
+    # corruption detection: flip one stored id and expect the check to fire
+    seq = MutableSequence([r.sequence.encode() for r in recs])
+    enum = randomize_and_enumerate(seq, 25, None, 50)
+    store = store_from_enum(seq, enum)
+    idmap = kmer_id_map(seq, enum, 25)
+    check_invariants(seq, store, 25, idmap)
+    store.node_bif[0] += 1
+    with pytest.raises(AssertionError):
+        check_invariants(seq, store, 25, idmap)
