@@ -78,7 +78,6 @@ def prolagan_fasta(seqs: list[bytes], names: list[str],
         raise ValueError(f"sequences not found in either profile: {missing}")
 
     pair_lines: dict[tuple[int, int], list] = {}
-    members1 = {i for i, _ in profs[0]}
     for a, _ in profs[0]:
         for b, _ in profs[1]:
             i, j = (a, b) if a < b else (b, a)
@@ -91,7 +90,6 @@ def prolagan_fasta(seqs: list[bytes], names: list[str],
                                   int(m.group(3)), int(m.group(4)),
                                   float(m.group(5))))
             pair_lines[(i, j)] = lines
-    del members1
     out = prolagan_native(seqs, names, profs, pair_lines, tree)
     if out is None:
         raise RuntimeError("prolagan: malformed tree or native engine missing")
