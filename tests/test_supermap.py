@@ -189,3 +189,19 @@ def test_supermap_bacteria_flip_differential(tmp_path):
                         proflip=True) == ref, seed
         matched += 1
     assert matched >= 4
+
+
+def test_cli_wrappers(tmp_path):
+    from sibelia_tpu.cli import glocal_cli, supermap_cli
+    hits = tmp_path / "hits.txt"
+    hits.write_text("sA 1000 5000; cX 1000 5000; score = 50000.0 (+)\n")
+    (tmp_path / "s1").write_text("sA 10000\n")
+    (tmp_path / "s2").write_text("cX 10000\n")
+    out = tmp_path / "out.smap"
+    rc = supermap_cli.run([str(hits), "-sizes1", str(tmp_path / "s1"),
+                           "-sizes2", str(tmp_path / "s2"),
+                           "-outfile", str(out), "-q"])
+    assert rc == 0
+    assert "(DM, 1 aligns)" in out.read_text()
+    rc = glocal_cli.run([str(hits)])
+    assert rc == 0
