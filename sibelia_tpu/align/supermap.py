@@ -81,6 +81,37 @@ def _truthy(s) -> bool:
     return s is not None and s != "" and s != "0"
 
 
+def is_blat(first_line: str) -> bool:
+    """isBLAT (supermap.pl): CHAOS lines carry `.. N N; .. N N; score`."""
+    if re.match(r"\s*.+\s\d+\s\d+;\s.+\s\d+\s\d+;\sscore", first_line):
+        return False
+    if re.match(r"\S+\s\d+\s\d+\s\S+\s", first_line):
+        return True
+    raise ValueError("unknown input format (neither CHAOS nor BLAT)")
+
+
+def blat_to_chaos(text: str, c1: float = 100, c2: float = 50,
+                  c3: float = 400, c4: float = 25) -> str:
+    """The reference's awk BLAT->CHAOS conversion (supermap.pl:350-354):
+    score = c1*matches - c2*mismatches - c3*(qgaps+tgaps) - c4*ln(gapbases),
+    with zero gap bases mapped to 1 before the log."""
+    import math
+    out = []
+    for line in text.split("\n"):
+        f = line.split()
+        if len(f) < 15:
+            continue
+        f13, f15 = float(f[12]), float(f[14])
+        v13 = f13 if (f13 + f15) else 1.0
+        score = (c1 * float(f[7]) - c2 * float(f[8])
+                 - c3 * (float(f[11]) + float(f[13]))
+                 - c4 * math.log(v13 + f15))
+        sv = f"{score:.6g}"  # awk OFMT
+        out.append(f"{f[0]} {f[1]} {f[2]}; {f[4]} {f[5]} {f[6]}; "
+                   f"score = {sv} ({f[3]})")
+    return "\n".join(out) + "\n"
+
+
 def get_min_seq_score(score_text: str) -> float:
     """getMinSeqScore (supermap.pl): the U-case open penalty."""
     score = None
@@ -745,5 +776,9 @@ class Supermap:
 
 def supermap(hits_text: str, sizes1: dict[str, int],
              sizes2: dict[str, int], **kw) -> str:
-    """The .smap region map for a CHAOS hit list (supermap.pl output)."""
+    """The .smap region map for a CHAOS or BLAT hit list (supermap.pl
+    output; BLAT input is converted like the reference's awk pass)."""
+    first = next((l for l in hits_text.split("\n") if l.strip()), "")
+    if first and is_blat(first):
+        hits_text = blat_to_chaos(hits_text)
     return Supermap(sizes1, sizes2, **kw).run(hits_text)

@@ -205,3 +205,36 @@ def test_cli_wrappers(tmp_path):
     assert "(DM, 1 aligns)" in out.read_text()
     rc = glocal_cli.run([str(hits)])
     assert rc == 0
+
+
+@needs_oracle
+def test_supermap_blat_input_differential(tmp_path):
+    lagan_dir = _make_lagan_dir(tmp_path)
+    matched = 0
+    for seed in range(5):
+        rng = random.Random(300 + seed)
+        lines = []
+        for _ in range(rng.randrange(15, 50)):
+            ln = rng.randrange(200, 3000)
+            s1 = rng.randrange(1, 300000 - ln - 1)
+            s2 = rng.randrange(1, 300000 - ln - 1)
+            match = rng.randrange(200, 3000)
+            mism = rng.randrange(0, 50)
+            qg, qgb = rng.randrange(0, 4), rng.randrange(0, 100)
+            tg, tgb = rng.randrange(0, 4), rng.randrange(0, 100)
+            lines.append(f"sqA {s1} {s1 + ln} {rng.choice('+-')} ctB "
+                         f"{s2} {s2 + ln} {match} {mism} 0 0 "
+                         f"{qg} {qgb} {tg} {tgb}")
+        hits = "\n".join(lines) + "\n"
+        d = tmp_path / f"blat{seed}"
+        d.mkdir()
+        (d / "hits.txt").write_text(hits)
+        (d / "s1").write_text("sqA 300000\n")
+        (d / "s2").write_text("ctB 300000\n")
+        r = _run_reference(lagan_dir, d)
+        if r.returncode != 0:
+            continue
+        ref = (d / "out.smap").read_text()
+        assert supermap(hits, {"sqA": 300000}, {"ctB": 300000}) == ref, seed
+        matched += 1
+    assert matched >= 3
