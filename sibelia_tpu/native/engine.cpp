@@ -61,6 +61,35 @@ inline u64 mix64(u64 key) {
     return key;
 }
 
+// SIBELIA_TPU_PROF=2: per-sweep phase accumulators (detection walks vs
+// collapse application vs store cleanup), reported by the sweep drivers.
+struct SweepStats {
+    double detect_ms = 0, pairs_ms = 0, collapse_ms = 0, cleanup_ms = 0;
+    i64 n_ids = 0, n_collapse = 0, n_delta = 0;
+    void reset() { *this = SweepStats(); }
+};
+SweepStats g_sweep_stats;
+bool prof2() {
+    static int e = [] {
+        const char* v = std::getenv("SIBELIA_TPU_PROF");
+        return (v && v[0] == '2') ? 1 : 0;
+    }();
+    return e != 0;
+}
+struct Acc {
+    double* slot;
+    std::chrono::steady_clock::time_point t0;
+    explicit Acc(double* s) : slot(s) {
+        if (prof2()) t0 = std::chrono::steady_clock::now();
+    }
+    ~Acc() {
+        if (prof2())
+            *slot += std::chrono::duration<double, std::milli>(
+                         std::chrono::steady_clock::now() - t0)
+                         .count();
+    }
+};
+
 struct BoostMapValue {
     uint8_t end_char;
     std::vector<int> branch_ids;
@@ -277,7 +306,16 @@ struct Engine {
     // here; our flat arrays pay O(nodes of chr) only on delta != 0)
     std::vector<std::vector<i64> > nodes_of_chr;
     i64 max_id;
-    std::vector<std::deque<i64> > lists[2];  // per bifId, front-insert
+    // per-(strand, bifId) point lists: intrusive singly-linked lists over
+    // node indices (front-insert == the reference's slist push_front,
+    // bifurcationstorage.h:113-126).  A deque per id cost ~600 B of
+    // allocation each across ~1M ids per stage; the intrusive form is
+    // three flat arrays.  cnt[] counts entries still linked, INCLUDING
+    // lazily-dead ones until cleanup() unlinks them (the reference's
+    // CountBifurcations reads the list size under the same laziness).
+    std::vector<i64> list_head[2];     // per bifId, -1 = empty
+    std::vector<int32_t> list_cnt[2];  // per bifId
+    std::vector<i64> node_next;        // per node, -1 = end
     std::vector<std::pair<std::pair<int, i64>, i64> > to_clear;  // ((strand,bif),idx)
 
     // Visit scheduling (output-exact sparse iteration): the reference
@@ -309,7 +347,7 @@ struct Engine {
         return idx < 0 ? NO_BIF : node_bif[idx];
     }
     size_t count_bifurcations(i64 bif) const {
-        return lists[0][bif].size() + lists[1][bif].size();
+        return (size_t)(list_cnt[0][bif] + list_cnt[1][bif]);
     }
     void add_point(int strand, int c, i64 pos, i64 bif) {
         if (bif == NO_BIF) return;
@@ -322,7 +360,9 @@ struct Engine {
         nodes_of_chr[c].push_back(idx);
         bif_at[strand][c][pos] = idx;
         mark_bits[strand][c].set(pos);
-        lists[strand][bif].push_front(idx);
+        node_next.push_back(list_head[strand][bif]);
+        list_head[strand][bif] = idx;
+        list_cnt[strand][bif]++;
         if (tracking) flag_id(bif);
     }
     void erase_point(int strand, int c, i64 pos) {
@@ -336,13 +376,17 @@ struct Engine {
         if (tracking) flag_id(bif);
     }
     void cleanup() {
+        Acc _acc_cl(&g_sweep_stats.cleanup_ms);
         for (size_t i = 0; i < to_clear.size(); i++) {
             int strand = to_clear[i].first.first;
             i64 bif = to_clear[i].first.second;
             i64 idx = to_clear[i].second;
-            std::deque<i64>& lst = lists[strand][bif];
-            std::deque<i64>::iterator it = std::find(lst.begin(), lst.end(), idx);
-            if (it != lst.end()) lst.erase(it);
+            i64* link = &list_head[strand][bif];
+            while (*link >= 0 && *link != idx) link = &node_next[*link];
+            if (*link == idx) {
+                *link = node_next[idx];
+                list_cnt[strand][bif]--;
+            }
         }
         to_clear.clear();
     }
@@ -478,6 +522,11 @@ i64 max_bif_multiplicity(const Engine& e, i64 idx, i64 distance) {
 
 void collapse_bulge(Engine& e, i64 k, i64 src_idx, i64 src_dist,
                     i64 tgt_idx, i64 tgt_dist) {
+    Acc _acc_col(&g_sweep_stats.collapse_ms);
+    if (prof2()) {
+        g_sweep_stats.n_collapse++;
+        if (src_dist != tgt_dist) g_sweep_stats.n_delta++;
+    }
     int s_t = e.node_strand[tgt_idx];
     int c_t = e.node_chr[tgt_idx];
     i64 p_t = e.node_pos[tgt_idx];
@@ -607,12 +656,12 @@ void prefilter_candidates(Engine& e, i64 k, i64 min_branch,
         std::vector<uint8_t> claim_ec((size_t)e.max_id + 1, 0);
         std::vector<i64> claim_epoch((size_t)e.max_id + 1, -1);
         for (i64 id = tid; id <= e.max_id; id += T) {
-            size_t n0 = e.lists[0][id].size();
-            if (n0 + e.lists[1][id].size() < 2) continue;
+            if (e.list_cnt[0][id] + e.list_cnt[1][id] < 2) continue;
             start_nodes.clear();
             for (int strand = 0; strand < 2; strand++)
-                start_nodes.insert(start_nodes.end(), e.lists[strand][id].begin(),
-                                   e.lists[strand][id].end());
+                for (i64 v = e.list_head[strand][id]; v >= 0;
+                     v = e.node_next[v])
+                    start_nodes.push_back(v);
             for (size_t i = 0; i < start_nodes.size() && !cand[(size_t)id]; i++) {
                 i64 idx = start_nodes[i];
                 int strand = e.node_strand[idx];
@@ -647,12 +696,15 @@ void prefilter_candidates(Engine& e, i64 k, i64 min_branch,
 
 i64 remove_bulges(Engine& e, i64 k, i64 min_branch, i64 bif_id) {
     i64 ret = 0;
+    if (prof2()) g_sweep_stats.n_ids++;
     std::vector<i64> start_nodes;
     for (int strand = 0; strand < 2; strand++) {
-        std::deque<i64>& lst = e.lists[strand][bif_id];
-        start_nodes.insert(start_nodes.end(), lst.begin(), lst.end());
+        for (i64 v = e.list_head[strand][bif_id]; v >= 0;
+             v = e.node_next[v])
+            start_nodes.push_back(v);
     }
     if (start_nodes.size() < 2) return ret;
+    Acc _acc_detect(&g_sweep_stats.detect_ms);
 
     std::vector<uint8_t> end_char(start_nodes.size(), EMPTY_CH);
     for (size_t i = 0; i < start_nodes.size(); i++) {
@@ -693,7 +745,7 @@ i64 remove_bulges(Engine& e, i64 k, i64 min_branch, i64 bif_id) {
         if (n->value.branch_ids.size() > 1) bulges.push_back(n->value.branch_ids);
     }
     if (bulges.empty()) return ret;
-
+    Acc _acc_pairs(&g_sweep_stats.pairs_ms);
     std::vector<std::pair<i64, i64> > vis;
     for (size_t nb = 0; nb < bulges.size(); nb++) {
         std::vector<int>& bulge = bulges[nb];
@@ -781,12 +833,14 @@ void engine_set_bifs(void* handle, i64 max_id,
     Engine* e = (Engine*)handle;
     e->max_id = max_id;
     for (int s = 0; s < 2; s++) {
-        e->lists[s].assign((size_t)max_id + 2, std::deque<i64>());
+        e->list_head[s].assign((size_t)max_id + 2, (i64)-1);
+        e->list_cnt[s].assign((size_t)max_id + 2, 0);
     }
     e->node_strand.clear();
     e->node_chr.clear();
     e->node_pos.clear();
     e->node_bif.clear();
+    e->node_next.clear();
     for (size_t c = 0; c < e->nodes_of_chr.size(); c++) e->nodes_of_chr[c].clear();
     const int32_t* chrs[2] = {chr0, chr1};
     const i64* coords[2] = {coord0, coord1};
@@ -802,7 +856,9 @@ void engine_set_bifs(void* handle, i64 max_id,
             e->nodes_of_chr[chrs[s][i]].push_back(idx);
             e->bif_at[s][chrs[s][i]][coords[s][i]] = idx;
             e->mark_bits[s][chrs[s][i]].set(coords[s][i]);
-            e->lists[s][bifs[s][i]].push_front(idx);
+            e->node_next.push_back(e->list_head[s][bifs[s][i]]);
+            e->list_head[s][bifs[s][i]] = idx;
+            e->list_cnt[s][bifs[s][i]]++;
         }
     }
 }
@@ -894,6 +950,18 @@ i64 engine_simplify_sparse(void* handle, i64 k, i64 min_branch,
                          " %8.1f ms\n",
                          (long long)k, (long long)iterations,
                          (long long)(total - before), ms);
+        }
+        if (prof2()) {
+            SweepStats& s = g_sweep_stats;
+            std::fprintf(stderr,
+                         "[prof2] sweep iter=%lld ids=%lld col=%lld"
+                         " delta=%lld total=%.0fms pairs=%.0fms"
+                         " collapse=%.0fms cleanup=%.0fms\n",
+                         (long long)iterations, (long long)s.n_ids,
+                         (long long)s.n_collapse, (long long)s.n_delta,
+                         s.detect_ms, s.pairs_ms,
+                         s.collapse_ms, s.cleanup_ms);
+            s.reset();
         }
         if (!(total > 0 && iterations < max_iterations)) break;
         e->visit_now.swap(e->visit_next);

@@ -274,6 +274,7 @@ struct RankArena {
   HVec<int64_t> qa, qb;   // LCP refinement: query base/member positions
   HVec<int32_t> ql;       // answered match lengths (capped at k)
   HVec<int32_t> wh;       // word-granular next-mismatch horizon
+  HVec<uint64_t> hk[4];   // block-mix signature lanes (ping-pong A/B pairs)
 };
 RankArena& rank_arena() {
   static RankArena a;
@@ -322,6 +323,54 @@ bool lcp_refine_enabled() {
     return (v && v[0] == '0') ? 0 : 1;
   }();
   return e != 0;
+}
+
+// ---------------------------------------------------------------------------
+// Block-mix refinement (k > 32) — the default k>32 backend.
+//
+// The initial radix sort yields EXACT dense ranks of every 32-window
+// (bucket-start representatives).  A k-window is the concatenation of
+// overlapping 32-windows, so k-window equality is exactly equality of the
+// covering 32-rank tuple — no string hashing is ever done.  The tuple is
+// folded with a sparse-table scheme: H_L(i) summarizes the ranks covering
+// [i, i+L); H_{2L}(i) = combine(H_L(i), H_L(i+L)); the final overlapped
+// combine H_k(i) = combine(H_L(i), H_L(i + k - L)) covers the k-window in
+// ceil(log2(k/32)) + 1 elementwise passes.  Equal k-windows therefore get
+// equal 128-bit signatures deterministically; distinct k-windows collide
+// with probability < 2^-75 per run at the 1 GB input cap (two independent
+// 64-bit mixes).  Group members with equal signatures form a class
+// without any per-member suffix walk — the win over the LCP backend,
+// whose per-member queries walk the full k on collapsed genomes where
+// nearly every window has full-length twins.  Class ORDER (lexicographic)
+// is computed exactly: one bounded lcp_direct walk per class
+// representative pair, which early-exits at the true divergence point.
+// Contract and invalid-member policy are identical to the LCP backend
+// (see above).  SIBELIA_TPU_BLOCKMIX=0 falls back to the LCP backend.
+// ---------------------------------------------------------------------------
+
+bool blockmix_enabled() {
+  static int e = [] {
+    const char* v = std::getenv("SIBELIA_TPU_BLOCKMIX");
+    return (v && v[0] == '0') ? 0 : 1;
+  }();
+  return e != 0;
+}
+
+static inline uint64_t mixA(uint64_t a, uint64_t b) {
+  // combine two 64-bit signatures; multiplies + xor-shift finalizer
+  uint64_t x = a * 0x9E3779B97F4A7C15ULL + b * 0xC2B2AE3D27D4EB4FULL
+               + 0x165667B19E3779F9ULL;
+  x ^= x >> 29; x *= 0xBF58476D1CE4E5B9ULL;
+  x ^= x >> 32;
+  return x;
+}
+
+static inline uint64_t mixB(uint64_t a, uint64_t b) {
+  uint64_t x = a * 0xFF51AFD7ED558CCDULL + b * 0x2545F4914F6CDD1DULL
+               + 0x9E3779B97F4A7C15ULL;
+  x ^= x >> 30; x *= 0x94D049BB133111EBULL;
+  x ^= x >> 31;
+  return x;
 }
 
 // First differing char index inside a 32-bit packed word pair (earlier
@@ -562,7 +611,200 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
 
   if (k <= 32) return;
 
-  if (lcp_refine_enabled()) {
+  if (blockmix_enabled()) {
+    LcpRefineCtx ctx{codes, pp, ar.next_sep.data(), n, k, pad};
+    // 1) fold the covering 32-rank tuple into 128-bit signatures
+    int64_t ext = n + k + 64;
+    for (int s = 0; s < 4; ++s)
+      if ((int64_t)ar.hk[s].size() < ext) ar.hk[s].resize((size_t)ext);
+    uint64_t* ha = ar.hk[0].data();
+    uint64_t* hb = ar.hk[1].data();
+    uint64_t* ha2 = ar.hk[2].data();
+    uint64_t* hb2 = ar.hk[3].data();
+    {
+      Prof _p("blockmix_fold");
+      parallel_for(ext, [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i) {
+          uint64_t r = (i < n) ? (uint64_t)rank[i] : 0xFFFFFFFFFFFFFFFFULL;
+          ha[i] = mixA(r, 0);
+          hb[i] = mixB(r, 0);
+        }
+      });
+      int64_t L = 32;
+      while (L * 2 <= k) {
+        parallel_for(ext, [&](int64_t lo, int64_t hi) {
+          for (int64_t i = lo; i < hi; ++i) {
+            int64_t j = i + L < ext ? i + L : ext - 1;
+            ha2[i] = mixA(ha[i], ha[j]);
+            hb2[i] = mixB(hb[i], hb[j]);
+          }
+        });
+        std::swap(ha, ha2);
+        std::swap(hb, hb2);
+        L *= 2;
+      }
+      // final overlapped combine: covers exactly k chars
+      int64_t off2 = k - L;
+      parallel_for(n, [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i) {
+          int64_t j = i + off2 < ext ? i + off2 : ext - 1;
+          ha2[i] = mixA(ha[i], ha[j]);
+          hb2[i] = mixB(hb[i], hb[j]);
+        }
+      });
+      std::swap(ha, ha2);
+      std::swap(hb, hb2);
+    }
+    // 2) per-bucket resolution: classes by signature, order by one
+    // bounded suffix walk per class-representative pair
+    {
+      Prof _p("blockmix_resolve");
+      unsigned hw = std::thread::hardware_concurrency();
+      int T = (n >= (1 << 19) && hw > 1) ? (int)std::min<unsigned>(hw, 8)
+                                         : 1;
+      std::vector<int64_t> b_i((size_t)T + 1);
+      b_i[0] = 0;
+      b_i[(size_t)T] = n;
+      for (int t = 1; t < T; ++t) {
+        int64_t x = n * t / T;
+        while (x < n && !gflag[x]) ++x;
+        b_i[(size_t)t] = x;
+      }
+      for (int t = 1; t < T; ++t)
+        if (b_i[(size_t)t] < b_i[(size_t)(t - 1)])
+          b_i[(size_t)t] = b_i[(size_t)(t - 1)];
+      // Each bucket's final layout — stable by (rank, position) — is
+      // written DIRECTLY into order/gflag here: invalid members first
+      // (they keep the base rank, position order), then classes in
+      // lexicographic order with members in position order.  Buckets are
+      // disjoint order[] spans, so chunks never race, and the global
+      // counting scatter (the former final_order_sort pass, a random
+      // 64M-slot write) is skipped entirely for this backend.
+      auto resolve_chunk = [&](int tid) {
+        struct Mem { uint64_t a, b; int64_t pos; };
+        std::vector<Mem> mem;
+        std::vector<int64_t> inval;
+        std::vector<int64_t> reps, rsz;  // class rep + class size
+        int64_t i = b_i[(size_t)tid], iend = b_i[(size_t)(tid + 1)];
+        while (i < iend) {
+          int64_t j = i + 1;
+          while (j < iend && !gflag[j]) ++j;
+          int64_t g = j - i;
+          if (g >= 2) {
+            if (g == 2 && ctx.window_valid(order[i]) &&
+                ctx.window_valid(order[i + 1])) {
+              // twin fast path (the dominant case)
+              int64_t m0 = order[i], m1 = order[i + 1];
+              if (ha[m0] == ha[m1] && hb[m0] == hb[m1]) {
+                rank[m0] = i;
+                rank[m1] = i;
+              } else {
+                int64_t L = lcp_direct(ctx.pp, m0, m1, 32, k, n + pad);
+                if (ctx.char_at(m0 + L) < ctx.char_at(m1 + L)) {
+                  rank[m0] = i;
+                  rank[m1] = i + 1;
+                } else {
+                  rank[m1] = i;
+                  rank[m0] = i + 1;
+                  order[i] = m1;
+                  order[i + 1] = m0;
+                }
+                gflag[i + 1] = 1;
+              }
+            } else {
+              mem.clear();
+              inval.clear();
+              for (int64_t t2 = i; t2 < j; ++t2) {
+                int64_t p = order[t2];
+                if (!ctx.window_valid(p)) {
+                  inval.push_back(p);  // keeps base rank i (sorts first)
+                  continue;
+                }
+                mem.push_back(Mem{ha[p], hb[p], p});
+              }
+              int64_t n_invalid = (int64_t)inval.size();
+              // layout prefix: invalid members, position order (order[]
+              // within a bucket is position order already)
+              for (int64_t t2 = 0; t2 < n_invalid; ++t2) {
+                order[i + t2] = inval[(size_t)t2];
+                gflag[i + t2] = (t2 == 0);
+              }
+              int64_t slot = i + n_invalid;
+              if ((int64_t)mem.size() >= 2) {
+                // classes = runs of equal signatures; pos as tie key
+                // keeps class members in position order (std::sort is
+                // not stable)
+                std::sort(mem.begin(), mem.end(),
+                          [](const Mem& x, const Mem& y) {
+                            if (x.a != y.a) return x.a < y.a;
+                            if (x.b != y.b) return x.b < y.b;
+                            return x.pos < y.pos;
+                          });
+                reps.clear();
+                rsz.clear();
+                for (size_t t2 = 0; t2 < mem.size(); ++t2) {
+                  if (t2 == 0 || mem[t2].a != mem[t2 - 1].a ||
+                      mem[t2].b != mem[t2 - 1].b) {
+                    reps.push_back((int64_t)t2);
+                    rsz.push_back(1);
+                  } else {
+                    ++rsz.back();
+                  }
+                }
+                if (reps.size() == 1) {
+                  for (const Mem& m : mem) {
+                    rank[m.pos] = i + n_invalid;
+                    order[slot] = m.pos;
+                    gflag[slot] = (slot == i + n_invalid);
+                    ++slot;
+                  }
+                } else {
+                  // order class reps lexicographically (exact):
+                  // members of one bucket agree over the first 32 chars
+                  std::vector<size_t> ord(reps.size());
+                  for (size_t t2 = 0; t2 < ord.size(); ++t2) ord[t2] = t2;
+                  std::sort(ord.begin(), ord.end(),
+                            [&](size_t x, size_t y) {
+                              int64_t p = mem[(size_t)reps[x]].pos;
+                              int64_t q = mem[(size_t)reps[y]].pos;
+                              int64_t L =
+                                  lcp_direct(ctx.pp, p, q, 32, k, n + pad);
+                              if (L >= k) return false;
+                              return ctx.char_at(p + L) < ctx.char_at(q + L);
+                            });
+                  for (size_t oi = 0; oi < ord.size(); ++oi) {
+                    size_t c = ord[oi];
+                    int64_t base = slot;
+                    int64_t first = reps[(size_t)c];
+                    for (int64_t t2 = 0; t2 < rsz[(size_t)c]; ++t2) {
+                      int64_t p = mem[(size_t)(first + t2)].pos;
+                      rank[p] = base;
+                      order[slot] = p;
+                      gflag[slot] = (slot == base);
+                      ++slot;
+                    }
+                  }
+                }
+              } else if (mem.size() == 1) {
+                rank[mem[0].pos] = i + n_invalid;
+                order[slot] = mem[0].pos;
+                gflag[slot] = 1;
+              }
+            }
+          }
+          i = j;
+        }
+      };
+      if (T == 1) {
+        resolve_chunk(0);
+      } else {
+        std::vector<std::thread> th;
+        for (int t = 0; t < T; ++t) th.emplace_back(resolve_chunk, t);
+        for (auto& x : th) x.join();
+      }
+    }
+    return;  // order/gflag written in place; no final scatter needed
+  } else if (lcp_refine_enabled()) {
     Prof _p_lcp("lcp_refine");
     const int64_t HORIZON_MIN = 512;  // queries per offset to amortize O(n/16)
     LcpRefineCtx ctx{codes, pp, ar.next_sep.data(), n, k, pad};
