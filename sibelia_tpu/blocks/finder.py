@@ -24,9 +24,13 @@ class BlockFinder:
     def __init__(self, chr_list: list[FASTARecord], rand: GlibcRand | None = None):
         self.chr_list = chr_list
         self.rand = rand if rand is not None else GlibcRand(1)
-        self.raw_seq: list[bytes] = [r.sequence.encode() for r in chr_list]
+        # working sequence as uint8 arrays (adopted by MutableSequence
+        # each stage without copying; rebound from it afterwards)
+        self.raw_seq: list[np.ndarray] = [
+            np.frombuffer(r.sequence.encode(), dtype=np.uint8).copy()
+            for r in chr_list]
         self.original_size = [len(s) for s in self.raw_seq]
-        self.original_pos = [np.arange(len(s), dtype=np.int64) for s in self.raw_seq]
+        self.original_pos = [np.arange(len(s), dtype=np.int32) for s in self.raw_seq]
 
     def perform_graph_simplifications(self, k: int, min_branch: int,
                                       max_iterations: int,
@@ -55,8 +59,8 @@ class BlockFinder:
                 checker = lambda: check_invariants(seq, store, k, idmap)
             ret = simplify_graph(seq, store, k, min_branch, max_iterations,
                                  progress, invariant_check=checker)
-        self.raw_seq = seq.to_strings()
-        self.original_pos = [op.copy() for op in seq.origpos]
+        self.raw_seq = seq.chars
+        self.original_pos = seq.origpos
         return ret
 
     def generate_synteny_blocks(self, k: int, trim_k: int, min_size: int,
@@ -94,7 +98,7 @@ def save_checkpoint(finder: "BlockFinder", path: str, stage_idx: int,
     import pickle
     arrays = {}
     for i, (s, op) in enumerate(zip(finder.raw_seq, finder.original_pos)):
-        arrays[f"seq_{i}"] = np.frombuffer(s, dtype=np.uint8)
+        arrays[f"seq_{i}"] = np.asarray(s, dtype=np.uint8)
         arrays[f"op_{i}"] = op
     arrays["rand_buf"] = np.asarray(finder.rand._buf, dtype=np.int64)
     arrays["meta"] = np.asarray([stage_idx, len(finder.raw_seq)],
@@ -112,8 +116,8 @@ def load_checkpoint(finder: "BlockFinder", path: str):
     import pickle
     data = np.load(path)
     stage_idx, n_chr = (int(x) for x in data["meta"])
-    finder.raw_seq = [data[f"seq_{i}"].tobytes() for i in range(n_chr)]
-    finder.original_pos = [data[f"op_{i}"].copy() for i in range(n_chr)]
+    finder.raw_seq = [data[f"seq_{i}"].copy() for i in range(n_chr)]
+    finder.original_pos = [data[f"op_{i}"].astype(np.int32) for i in range(n_chr)]
     finder.rand._buf = [int(x) for x in data["rand_buf"]]
     with open(path + ".hist", "rb") as h:
         history = pickle.loads(h.read())

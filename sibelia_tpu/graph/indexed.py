@@ -39,7 +39,7 @@ def randomize_and_enumerate(seq: MutableSequence, k: int,
     min_branch requests the device bulge-candidate bitmap too."""
     if rand is not None:
         randomize_ambiguous(seq, rand)
-    return enumerate_bifurcations(seq.to_strings(), k, min_branch)
+    return enumerate_bifurcations(seq.chars, k, min_branch)
 
 
 def build_index(seq: MutableSequence, k: int, rand: GlibcRand | None = None) -> BifStore:

@@ -4,9 +4,10 @@ Replaces the reference's unrolled doubly-linked list DNASequence
 (reference: src/dnasequence.{h,cpp}, src/unrolledlist.h) with numpy arrays:
 
   chars[c]   uint8 ASCII bases of chromosome c (no separators stored)
-  origpos[c] int64 "original position" metadata per element
-             (reference keeps this in 30 bits of per-element meta,
-              src/stranditerator.cpp:148-156)
+  origpos[c] int32 "original position" metadata per element
+             (the reference fits this in 30 bits of per-element meta,
+              src/stranditerator.cpp:148-156; int32 covers the 1 GB
+              input cap and halves the memory-story footprint)
 
 A *strand position* is (strand, chr, pos) where pos is the positive-frame
 index of the element a reference StrandIterator would point at. Advancing
@@ -28,14 +29,21 @@ for a, b in zip(b"ATGCatgc", b"TACGtacg"):
 
 
 class MutableSequence:
-    def __init__(self, chromosomes: list[bytes], original_pos: list[np.ndarray] | None = None):
+    def __init__(self, chromosomes: list[bytes | np.ndarray],
+                 original_pos: list[np.ndarray] | None = None):
+        # ndarray inputs are ADOPTED (no copy): callers hand over
+        # ownership (BlockFinder rebinds its state from this object after
+        # every stage, so sharing is safe and saves a full-genome copy
+        # per stage); bytes inputs are copied into fresh arrays.
         self.chars: list[np.ndarray] = [
-            np.frombuffer(c, dtype=np.uint8).copy() for c in chromosomes
+            c if isinstance(c, np.ndarray)
+            else np.frombuffer(c, dtype=np.uint8).copy() for c in chromosomes
         ]
         if original_pos is None:
-            self.origpos = [np.arange(len(c), dtype=np.int64) for c in chromosomes]
+            self.origpos = [np.arange(len(c), dtype=np.int32) for c in chromosomes]
         else:
-            self.origpos = [np.asarray(p, dtype=np.int64).copy() for p in original_pos]
+            self.origpos = [np.ascontiguousarray(p, dtype=np.int32)
+                            for p in original_pos]
         # original position recorded on the separator element after each
         # chromosome (reference: dnasequence.cpp:95-96) — the chromosome's
         # length at construction time.
@@ -76,7 +84,7 @@ class MutableSequence:
             [self.chars[c][:start], new_chars, self.chars[c][stop:]])
         self.origpos[c] = np.concatenate(
             [self.origpos[c][:start],
-             np.zeros(len(new_chars), dtype=np.int64),
+             np.zeros(len(new_chars), dtype=np.int32),
              self.origpos[c][stop:]])
 
     def to_strings(self) -> list[bytes]:

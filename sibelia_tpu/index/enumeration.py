@@ -51,31 +51,42 @@ class BifEnumeration:
 
 _RC = bytes.maketrans(b"ACGT", b"TGCA")
 
+_ENC_LUT = np.zeros(256, dtype=np.uint8)
+for _ch, _code in CODE_OF.items():
+    _ENC_LUT[ord(_ch)] = _code
+_COMP_LUT = np.arange(256, dtype=np.uint8)
+for _a, _b in zip(b"ATGCatgc", b"TACGtacg"):
+    _COMP_LUT[_a] = _b
+
 
 def revcomp_bytes(s: bytes) -> bytes:
     return s.translate(_RC)[::-1]
 
 
-def build_supergenome(chromosomes: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+def build_supergenome(chromosomes: list[bytes | np.ndarray]
+                      ) -> tuple[np.ndarray, np.ndarray]:
     """Return (codes, block_starts). Layout mirrors the reference
     (vertexenumeration.cpp:166-183): leading '#', each chromosome followed
     by '#', then each reverse complement followed by '#'. block_starts[b]
-    is the supergenome offset of block b (positive blocks then negative)."""
-    parts = [b"#"]
+    is the supergenome offset of block b (positive blocks then negative).
+    Accepts bytes or uint8 arrays; codes are written straight into one
+    output buffer (no intermediate join/copy of the genome)."""
+    arrs = [np.frombuffer(c, dtype=np.uint8)
+            if isinstance(c, (bytes, bytearray))
+            else np.asarray(c, dtype=np.uint8) for c in chromosomes]
+    total = 1 + 2 * sum(len(a) + 1 for a in arrs)
+    codes = np.zeros(total, dtype=np.uint8)  # untouched slots = separators
     starts = []
     off = 1
-    for ch in chromosomes:
+    for a in arrs:
         starts.append(off)
-        parts.append(ch)
-        parts.append(b"#")
-        off += len(ch) + 1
-    for ch in chromosomes:
+        codes[off:off + len(a)] = _ENC_LUT[a]
+        off += len(a) + 1
+    for a in arrs:
         starts.append(off)
-        parts.append(revcomp_bytes(ch))
-        parts.append(b"#")
-        off += len(ch) + 1
-    text = b"".join(parts)
-    return encode(text), np.asarray(starts, dtype=np.int64)
+        codes[off:off + len(a)] = _ENC_LUT[_COMP_LUT[a]][::-1]
+        off += len(a) + 1
+    return codes, np.asarray(starts, dtype=np.int64)
 
 
 # ---------------------------------------------------------------------------
@@ -300,7 +311,7 @@ def _map_selected(sel: np.ndarray, sel_ids: np.ndarray, count: int,
     return BifEnumeration(count, tuple(out_chr), tuple(out_pos), tuple(out_id))
 
 
-def enumerate_bifurcations(chromosomes: list[bytes], k: int,
+def enumerate_bifurcations(chromosomes: list[bytes | np.ndarray], k: int,
                            min_branch: int | None = None) -> BifEnumeration:
     """Enumerate bifurcations; with `min_branch` given, the device path
     additionally computes the bulge-candidate bitmap for the coming

@@ -100,7 +100,8 @@ def simplify_native(seq, enum, k: int, min_branch: int,
     n_chr = seq.n_chr
     chr_lens = (ctypes.c_int64 * n_chr)(*[seq.chr_len(c) for c in range(n_chr)])
     char_bufs = [np.ascontiguousarray(seq.chars[c]) for c in range(n_chr)]
-    op_bufs = [np.ascontiguousarray(seq.origpos[c]) for c in range(n_chr)]
+    op_bufs = [np.ascontiguousarray(seq.origpos[c], dtype=np.int32)
+               for c in range(n_chr)]
     char_ptrs = (ctypes.c_void_p * n_chr)(
         *[b.ctypes.data_as(ctypes.c_void_p).value for b in char_bufs])
     op_ptrs = (ctypes.c_void_p * n_chr)(
@@ -138,7 +139,7 @@ def simplify_native(seq, enum, k: int, min_branch: int,
         for c in range(n_chr):
             ln = lib.engine_chr_len(handle, c)
             chars = np.empty(ln, dtype=np.uint8)
-            op = np.empty(ln, dtype=np.int64)
+            op = np.empty(ln, dtype=np.int32)
             lib.engine_get_chr(handle, c, chars.ctypes.data, op.ctypes.data)
             seq.chars[c] = chars
             seq.origpos[c] = op

@@ -65,10 +65,11 @@ inline u64 mix64(u64 key) {
 // collapse application vs store cleanup), reported by the sweep drivers.
 struct SweepStats {
     double detect_ms = 0, pairs_ms = 0, collapse_ms = 0, cleanup_ms = 0;
+    double erase_ms = 0, replace_ms = 0, update_ms = 0, walk_ms = 0;
     i64 n_ids = 0, n_collapse = 0, n_delta = 0;
     void reset() { *this = SweepStats(); }
 };
-SweepStats g_sweep_stats;
+thread_local SweepStats g_sweep_stats;  // per-thread (wave detection)
 bool prof2() {
     static int e = [] {
         const char* v = std::getenv("SIBELIA_TPU_PROF");
@@ -292,7 +293,7 @@ struct MarkBits {
 struct Engine {
     int n_chr;
     std::vector<std::vector<uint8_t> > chars;
-    std::vector<std::vector<i64> > origpos;
+    std::vector<std::vector<int32_t> > origpos;  // fits the 1 GB input cap
     std::vector<i64> sep_origpos;
     // bifurcation store
     std::vector<std::vector<i64> > bif_at[2];
@@ -332,11 +333,17 @@ struct Engine {
     i64 cur_id = 0;
     i64 mb_cur = 0;  // min_branch of the running sweep (walk radius)
     std::vector<uint8_t> visit_now, visit_next;
+    // wave-scheduler invalidation epochs (see the scheduler header below)
+    i64 apply_step = 0;
+    std::vector<i64> touched_at;   // per bif id
+    std::vector<i64> count_epoch;  // per bif id
+    std::vector<i64> delta_epoch;  // per chromosome
 
     void flag_id(i64 bif) {
         if (bif == NO_BIF) return;
         if (bif > cur_id) visit_now[(size_t)bif] = 1;
         else visit_next[(size_t)bif] = 1;
+        touched_at[(size_t)bif] = apply_step;
     }
 
     i64 get_node_at(int strand, int c, i64 pos) const {
@@ -363,7 +370,10 @@ struct Engine {
         node_next.push_back(list_head[strand][bif]);
         list_head[strand][bif] = idx;
         list_cnt[strand][bif]++;
-        if (tracking) flag_id(bif);
+        if (tracking) {
+            flag_id(bif);
+            count_epoch[(size_t)bif] = apply_step;
+        }
     }
     void erase_point(int strand, int c, i64 pos) {
         i64 idx = bif_at[strand][c][pos];
@@ -386,6 +396,7 @@ struct Engine {
             if (*link == idx) {
                 *link = node_next[idx];
                 list_cnt[strand][bif]--;
+                if (tracking) count_epoch[(size_t)bif] = apply_step;
             }
         }
         to_clear.clear();
@@ -415,6 +426,7 @@ struct Engine {
                 i64 idx = idxs[i];
                 if (node_pos[idx] >= stop) node_pos[idx] += delta;
             }
+            if (tracking) delta_epoch[(size_t)c] = apply_step;
         }
     }
 };
@@ -537,6 +549,8 @@ void collapse_bulge(Engine& e, i64 k, i64 src_idx, i64 src_dist,
 
     // 1. EraseBifurcations
     std::vector<std::pair<i64, i64> > look_back, look_forward;
+    {
+    Acc _a(&g_sweep_stats.erase_ms);
     for (i64 i = 0; i < k; i++) {
         i64 a_coord = s_t == 0 ? p_t + k - 1 - i : p_t - (k - 1 - i);
         i64 b = e.get_bif(1 - s_t, c_t, a_coord);
@@ -556,7 +570,9 @@ void collapse_bulge(Engine& e, i64 k, i64 src_idx, i64 src_dist,
         e.erase_point(1 - s_t, c_t, advance(p_t, s_t, k + td - 1 - eidx));
     }
 
+    }
     // 2. Replace: spell source interior on source strand
+    Acc _a_rep(&g_sweep_stats.replace_ms);
     std::vector<uint8_t> content((size_t)sd);
     {
         i64 q = advance(p_s, s_s, k);
@@ -575,12 +591,13 @@ void collapse_bulge(Engine& e, i64 k, i64 src_idx, i64 src_dist,
         for (i64 i = 0; i < sd; i++) rc[i] = COMP[content[sd - 1 - i]];
         content.swap(rc);
     }
-    i64 first_pos = e.origpos[c_t][span_start];
+    i64 first_pos = (i64)e.origpos[c_t][span_start];
     i64 last_pos = (span_start + td == (i64)e.chars[c_t].size())
-                       ? e.sep_origpos[c_t] : e.origpos[c_t][span_start + td];
+                       ? e.sep_origpos[c_t]
+                       : (i64)e.origpos[c_t][span_start + td];
     {
         std::vector<uint8_t>& ch = e.chars[c_t];
-        std::vector<i64>& op = e.origpos[c_t];
+        std::vector<int32_t>& op = e.origpos[c_t];
         i64 delta = sd - td;
         if (delta == 0) {
             std::memcpy(ch.data() + span_start, content.data(), (size_t)sd);
@@ -591,22 +608,23 @@ void collapse_bulge(Engine& e, i64 k, i64 src_idx, i64 src_dist,
         } else {
             ch.insert(ch.begin() + span_stop, (size_t)delta, (uint8_t)0);
             std::memcpy(ch.data() + span_start, content.data(), (size_t)sd);
-            op.insert(op.begin() + span_stop, (size_t)delta, (i64)0);
+            op.insert(op.begin() + span_stop, (size_t)delta, (int32_t)0);
         }
     }
     e.apply_splice(c_t, span_start, span_stop, sd);
     {
         double acc = (double)first_pos;
         double ssize = (double)td / (double)sd;
-        std::vector<i64>& op = e.origpos[c_t];
+        std::vector<int32_t>& op = e.origpos[c_t];
         for (i64 step = 0; step < sd; step++) {
             i64 v = (i64)acc;
-            op[span_start + step] = v < last_pos ? v : last_pos;
+            op[span_start + step] = (int32_t)(v < last_pos ? v : last_pos);
             acc += ssize;
         }
     }
 
     // 3. UpdateBifurcations
+    Acc _a_upd(&g_sweep_stats.update_ms);
     p_t = e.node_pos[tgt_idx];
     p_s = e.node_pos[src_idx];
     size_t anear = 0, bnear = 0;
@@ -631,6 +649,7 @@ void collapse_bulge(Engine& e, i64 k, i64 src_idx, i64 src_dist,
     }
 
     if (e.tracking) {
+        Acc _a_walk(&g_sweep_stats.walk_ms);
         i64 span_pos = s_t == 0 ? p_t + k : p_t - k - sd + 1;
         mark_walk_neighbors(e, k, c_t, span_pos, sd);
     }
@@ -694,62 +713,187 @@ void prefilter_candidates(Engine& e, i64 k, i64 min_branch,
     }
 }
 
-i64 remove_bulges(Engine& e, i64 k, i64 min_branch, i64 bif_id) {
+// ---------------------------------------------------------------------------
+// Wave scheduler (SURVEY §7 "deterministic conflict-free collapse
+// batching").  RemoveBulges (src/bulgeremoval.cpp:330-431) splits into a
+// read-only DETECTION (everything up to — but excluding — the first
+// collapse: branch walks, bulge grouping in boost order, the first
+// surviving pair and its imlp/jmlp/kmerId priority verdict,
+// bulgeremoval.cpp:405-407) and an APPLICATION that resumes the loops at
+// the recorded pair and mutates exactly as the serial code would.
+// Detection for a WINDOW of candidate ids runs on all cores against a
+// frozen state; application then replays ids in ascending id order.  An
+// id's recorded detection is reused only when nothing applied earlier in
+// the order touched its footprint:
+//
+//   touched_at[id]  — last apply step whose span rewrite or mark
+//                     erase/add a walk from this id's instances could
+//                     see (the mark_walk_neighbors bound, which is also
+//                     what makes the sparse sweep's skipping sound);
+//   count_epoch[b]  — last apply step that changed b's point count
+//                     (the priority verdict reads counts of every id on
+//                     the two branches: iset below);
+//   delta_epoch[c]  — last apply step that length-shifted chromosome c
+//                     (shifts are translation-invariant for walks, but
+//                     the overlap test compares absolute spans of two
+//                     branches that may straddle the shift point, so any
+//                     shift in an instance chromosome invalidates).
+//
+// Stale ids are recomputed serially in place — identical output, only
+// the cached detection is discarded.  Result: byte-for-byte the serial
+// sweep, with the dominant detection cost running data-parallel.
+// ---------------------------------------------------------------------------
+
+struct DetectResult {
+    uint8_t state = 0;  // 0 unset, 1 no bulges, 2 collapse intent
+    std::vector<i64> start_nodes;
+    std::vector<uint8_t> end_char;
+    std::vector<std::vector<int> > bulges;
+    size_t nb0 = 0, i0 = 0, j0 = 0;  // loop coordinates of the first pair
+    i64 j_dist0 = 0, i_dist0 = 0;
+    bool iless0 = false;
+    std::vector<i64> iset;  // ids whose counts the priority verdicts read
+    std::vector<int> chrs;  // instance chromosomes (delta invalidation)
+    void reset() {
+        state = 0;
+        start_nodes.clear();
+        end_char.clear();
+        bulges.clear();
+        iset.clear();
+        chrs.clear();
+    }
+};
+
+// Collect the count-read footprint.  Counts are read ONLY by
+// max_bif_multiplicity walks, which scan_forward at most mb steps from
+// an instance on the instance's OWN strand array
+// (src/bulgeremoval.cpp:39-53) — so the ids whose counts this id's
+// application may read are exactly the ids owning marks in that
+// directional window.
+void collect_footprint(const Engine& e, i64 k, i64 mb,
+                       const std::vector<i64>& start_nodes,
+                       DetectResult& out) {
+    for (size_t i = 0; i < start_nodes.size(); i++) {
+        i64 idx = start_nodes[i];
+        int strand = e.node_strand[idx];
+        int c = e.node_chr[idx];
+        i64 pos = e.node_pos[idx];
+        out.chrs.push_back(c);
+        i64 len = (i64)e.chars[c].size();
+        i64 lo, hi;
+        if (strand == 0) {
+            lo = pos + 1;
+            hi = pos + mb - 1;
+        } else {
+            lo = pos - mb + 1;
+            hi = pos - 1;
+        }
+        if (lo < 0) lo = 0;
+        if (hi > len - 1) hi = len - 1;
+        const MarkBits& bits = e.mark_bits[strand][c];
+        const std::vector<i64>& arr = e.bif_at[strand][c];
+        for (i64 p = bits.next_set(lo); p >= 0 && p <= hi;
+             p = bits.next_set(p + 1)) {
+            i64 b = e.node_bif[arr[p]];
+            if (b != NO_BIF) out.iset.push_back(b);
+        }
+    }
+    std::sort(out.iset.begin(), out.iset.end());
+    out.iset.erase(std::unique(out.iset.begin(), out.iset.end()),
+                   out.iset.end());
+    std::sort(out.chrs.begin(), out.chrs.end());
+    out.chrs.erase(std::unique(out.chrs.begin(), out.chrs.end()),
+                   out.chrs.end());
+}
+
+// One function, three modes (they share every loop so the replayed
+// control flow cannot diverge from the serial reference):
+//   rec != 0  : detection — read-only, stops at the first collapse
+//   res != 0  : application — resumes at res's recorded first pair
+//   both 0    : the serial RemoveBulges (fallback for stale ids)
+i64 process_bulges(Engine& e, i64 k, i64 min_branch, i64 bif_id,
+                   DetectResult* rec, const DetectResult* res) {
     i64 ret = 0;
     if (prof2()) g_sweep_stats.n_ids++;
-    std::vector<i64> start_nodes;
-    for (int strand = 0; strand < 2; strand++) {
-        for (i64 v = e.list_head[strand][bif_id]; v >= 0;
-             v = e.node_next[v])
-            start_nodes.push_back(v);
+    std::vector<i64> start_nodes_local;
+    const std::vector<i64>* snp;
+    if (res != nullptr) {
+        snp = &res->start_nodes;
+    } else {
+        for (int strand = 0; strand < 2; strand++) {
+            for (i64 v = e.list_head[strand][bif_id]; v >= 0;
+                 v = e.node_next[v])
+                start_nodes_local.push_back(v);
+        }
+        snp = &start_nodes_local;
     }
-    if (start_nodes.size() < 2) return ret;
+    const std::vector<i64>& start_nodes = *snp;
+    if (start_nodes.size() < 2) {
+        if (rec) rec->state = 1;
+        return ret;
+    }
     Acc _acc_detect(&g_sweep_stats.detect_ms);
 
-    std::vector<uint8_t> end_char(start_nodes.size(), EMPTY_CH);
-    for (size_t i = 0; i < start_nodes.size(); i++) {
-        i64 idx = start_nodes[i];
-        int strand = e.node_strand[idx];
-        int c = e.node_chr[idx];
-        i64 pos = e.node_pos[idx];
-        if (proper_kmer(e, strand, c, pos, k + 1)) {
-            end_char[i] = char_at(e, strand, c, advance(pos, strand, k));
-        }
-    }
-
-    // AnyBulges with boost iteration order
-    Boost154Map visit;
+    std::vector<uint8_t> end_char;
+    std::vector<std::vector<int> > bulges_local;
+    const std::vector<std::vector<int> >* bp;
     std::vector<Mark> marks;
-    for (size_t i = 0; i < start_nodes.size(); i++) {
-        if (end_char[i] == EMPTY_CH) continue;
-        i64 idx = start_nodes[i];
-        int strand = e.node_strand[idx];
-        int c = e.node_chr[idx];
-        i64 pos = e.node_pos[idx];
-        i64 start = e.get_bif(strand, c, pos);
-        scan_forward(e, strand, c, pos, min_branch, marks);
-        for (size_t m = 0; m < marks.size(); m++) {
-            i64 b = e.node_bif[marks[m].node];
-            if (b == start) break;
-            BoostMapValue* entry = visit.find((u64)b);
-            if (entry == nullptr) {
-                visit.insert((u64)b, end_char[i], (int)i);
-            } else if (entry->end_char != end_char[i]) {
-                entry->branch_ids.push_back((int)i);
-                break;
+    if (res != nullptr) {
+        end_char = res->end_char;  // pre-collapse snapshot (validated)
+        bp = &res->bulges;
+    } else {
+        end_char.assign(start_nodes.size(), EMPTY_CH);
+        for (size_t i = 0; i < start_nodes.size(); i++) {
+            i64 idx = start_nodes[i];
+            int strand = e.node_strand[idx];
+            int c = e.node_chr[idx];
+            i64 pos = e.node_pos[idx];
+            if (proper_kmer(e, strand, c, pos, k + 1)) {
+                end_char[i] = char_at(e, strand, c, advance(pos, strand, k));
             }
         }
+
+        // AnyBulges with boost iteration order
+        Boost154Map visit;
+        for (size_t i = 0; i < start_nodes.size(); i++) {
+            if (end_char[i] == EMPTY_CH) continue;
+            i64 idx = start_nodes[i];
+            int strand = e.node_strand[idx];
+            int c = e.node_chr[idx];
+            i64 pos = e.node_pos[idx];
+            i64 start = e.get_bif(strand, c, pos);
+            scan_forward(e, strand, c, pos, min_branch, marks);
+            for (size_t m = 0; m < marks.size(); m++) {
+                i64 b = e.node_bif[marks[m].node];
+                if (b == start) break;
+                BoostMapValue* entry = visit.find((u64)b);
+                if (entry == nullptr) {
+                    visit.insert((u64)b, end_char[i], (int)i);
+                } else if (entry->end_char != end_char[i]) {
+                    entry->branch_ids.push_back((int)i);
+                    break;
+                }
+            }
+        }
+        bulges_local.clear();
+        for (BoostNode* n = visit.prev_start_next; n != nullptr; n = n->next) {
+            if (n->value.branch_ids.size() > 1)
+                bulges_local.push_back(n->value.branch_ids);
+        }
+        bp = &bulges_local;
     }
-    std::vector<std::vector<int> > bulges;
-    for (BoostNode* n = visit.prev_start_next; n != nullptr; n = n->next) {
-        if (n->value.branch_ids.size() > 1) bulges.push_back(n->value.branch_ids);
+    const std::vector<std::vector<int> >& bulges = *bp;
+    if (bulges.empty()) {
+        if (rec) rec->state = 1;
+        return ret;
     }
-    if (bulges.empty()) return ret;
     Acc _acc_pairs(&g_sweep_stats.pairs_ms);
     std::vector<std::pair<i64, i64> > vis;
-    for (size_t nb = 0; nb < bulges.size(); nb++) {
-        std::vector<int>& bulge = bulges[nb];
-        for (size_t id_i = 0; id_i < bulge.size(); id_i++) {
+    size_t nb_start = res ? res->nb0 : 0;
+    for (size_t nb = nb_start; nb < bulges.size(); nb++) {
+        const std::vector<int>& bulge = bulges[nb];
+        size_t i_start = (res && nb == res->nb0) ? res->i0 : 0;
+        for (size_t id_i = i_start; id_i < bulge.size(); id_i++) {
             int kmer_i = bulge[id_i];
             i64 node_i = start_nodes[kmer_i];
             if (e.node_bif[node_i] == NO_BIF) continue;
@@ -757,9 +901,30 @@ i64 remove_bulges(Engine& e, i64 k, i64 min_branch, i64 bif_id) {
             int ci = e.node_chr[node_i];
             i64 pi = e.node_pos[node_i];
             fill_visit(e, si, ci, pi, min_branch, vis);
-            for (size_t id_j = id_i + 1; id_j < bulge.size(); id_j++) {
+            bool resume_here =
+                (res && nb == res->nb0 && id_i == res->i0);
+            size_t j_start = resume_here ? res->j0 : id_i + 1;
+            for (size_t id_j = j_start; id_j < bulge.size(); id_j++) {
                 int kmer_j = bulge[id_j];
                 i64 node_j = start_nodes[kmer_j];
+                if (resume_here && id_j == res->j0) {
+                    // the recorded first pair: every read it depends on
+                    // was validated unchanged, so reuse the verdict
+                    ret++;
+                    i64 i_dist = res->i_dist0;
+                    i64 j_dist = res->j_dist0;
+                    if (res->iless0) {
+                        end_char[kmer_j] = end_char[kmer_i];
+                        collapse_bulge(e, k, node_i, i_dist, node_j, j_dist);
+                    } else {
+                        end_char[kmer_i] = end_char[kmer_j];
+                        collapse_bulge(e, k, node_j, j_dist, node_i, i_dist);
+                        pi = e.node_pos[node_i];
+                        fill_visit(e, si, ci, pi, min_branch, vis);
+                    }
+                    resume_here = false;
+                    continue;
+                }
                 if (e.node_bif[node_j] == NO_BIF
                     || end_char[kmer_i] == end_char[kmer_j]) continue;
                 int sj = e.node_strand[node_j];
@@ -776,10 +941,27 @@ i64 remove_bulges(Engine& e, i64 k, i64 min_branch, i64 bif_id) {
                         i64 j_dist = marks[m].step;
                         i64 i_dist = vt->second;
                         if (overlap(e, k, node_i, i_dist, node_j, j_dist)) break;
-                        ret++;
                         i64 imlp = max_bif_multiplicity(e, node_i, i_dist);
                         i64 jmlp = max_bif_multiplicity(e, node_j, j_dist);
                         bool iless = imlp > jmlp || (imlp == jmlp && kmer_i < kmer_j);
+                        if (rec) {
+                            // detection stops at the first collapse:
+                            // record the pair + verdict, mutate nothing
+                            rec->state = 2;
+                            rec->nb0 = nb;
+                            rec->i0 = id_i;
+                            rec->j0 = id_j;
+                            rec->j_dist0 = j_dist;
+                            rec->i_dist0 = i_dist;
+                            rec->iless0 = iless;
+                            rec->start_nodes = start_nodes;
+                            rec->end_char = end_char;
+                            rec->bulges = bulges;
+                            collect_footprint(e, k, min_branch, start_nodes,
+                                              *rec);
+                            return 0;
+                        }
+                        ret++;
                         if (iless) {
                             end_char[kmer_j] = end_char[kmer_i];
                             collapse_bulge(e, k, node_i, i_dist, node_j, j_dist);
@@ -795,8 +977,130 @@ i64 remove_bulges(Engine& e, i64 k, i64 min_branch, i64 bif_id) {
             }
         }
     }
+    if (rec) {
+        // Walked every pair, nothing to collapse.  This verdict involved
+        // overlap tests (absolute spans), so a chromosome length shift
+        // must invalidate it: record the instance chromosomes.
+        rec->state = 1;
+        for (size_t i = 0; i < start_nodes.size(); i++)
+            rec->chrs.push_back(e.node_chr[start_nodes[i]]);
+        std::sort(rec->chrs.begin(), rec->chrs.end());
+        rec->chrs.erase(std::unique(rec->chrs.begin(), rec->chrs.end()),
+                        rec->chrs.end());
+        return ret;
+    }
     e.cleanup();
     return ret;
+}
+
+i64 remove_bulges(Engine& e, i64 k, i64 min_branch, i64 bif_id) {
+    return process_bulges(e, k, min_branch, bif_id, nullptr, nullptr);
+}
+
+// SIBELIA_TPU_WAVE: unset -> default window 8192; 0 -> wave scheduler
+// off (strictly serial sweep); N -> window of N candidate ids.
+i64 wave_window() {
+    static i64 w = [] {
+        const char* v = std::getenv("SIBELIA_TPU_WAVE");
+        if (!v || !v[0]) return (i64)1024;
+        return (i64)std::atoll(v);
+    }();
+    return w;
+}
+
+// One sweep iteration under the wave scheduler: parallel frozen-state
+// detection of a window of candidate ids, then in-order application
+// with epoch invalidation (stale ids recompute serially — identical
+// output, see the scheduler header above).
+i64 g_wave_skip1 = 0, g_wave_resume = 0, g_wave_stale = 0,
+    g_wave_uncached = 0;
+double g_wave_detect_ms = 0;
+
+i64 sweep_iteration_wave(Engine& e, i64 k, i64 min_branch, i64 win,
+                         std::vector<DetectResult>& results) {
+    i64 total = 0;
+    if ((i64)results.size() < win) results.resize((size_t)win);
+    std::vector<i64> wids;
+    wids.reserve((size_t)win);
+    i64 cursor = 0;
+    while (cursor <= e.max_id) {
+        wids.clear();
+        i64 hi = cursor;
+        while (hi <= e.max_id && (i64)wids.size() < win) {
+            if (e.visit_now[(size_t)hi]) wids.push_back(hi);
+            hi++;
+        }
+        if (!wids.empty()) {
+            i64 wave_epoch = e.apply_step;
+            unsigned hw = std::thread::hardware_concurrency();
+            int T = (int)std::min<unsigned>(hw ? hw : 1, 8);
+            if ((i64)wids.size() < 64) T = 1;
+            auto detect_range = [&](int t) {
+                for (size_t w = (size_t)t; w < wids.size(); w += (size_t)T) {
+                    results[w].reset();
+                    process_bulges(e, k, min_branch, wids[w], &results[w],
+                                   nullptr);
+                }
+            };
+            std::chrono::steady_clock::time_point dt0 =
+                std::chrono::steady_clock::now();
+            if (T == 1) {
+                detect_range(0);
+            } else {
+                std::vector<std::thread> th;
+                for (int t = 1; t < T; t++) th.emplace_back(detect_range, t);
+                detect_range(0);
+                for (std::thread& x : th) x.join();
+            }
+            g_wave_detect_ms += std::chrono::duration<double, std::milli>(
+                std::chrono::steady_clock::now() - dt0).count();
+            size_t w = 0;
+            for (i64 id = cursor; id < hi; id++) {
+                while (w < wids.size() && wids[w] < id) w++;
+                if (!e.visit_now[(size_t)id]) continue;
+                e.cur_id = id;
+                DetectResult* d = nullptr;
+                if (w < wids.size() && wids[w] == id) d = &results[w];
+                bool valid = false;
+                if (d != nullptr && d->state != 0) {
+                    valid = e.touched_at[(size_t)id] < wave_epoch;
+                    if (valid) {
+                        for (size_t ci = 0; ci < d->chrs.size(); ci++)
+                            if (e.delta_epoch[(size_t)d->chrs[ci]] >=
+                                wave_epoch) {
+                                valid = false;
+                                break;
+                            }
+                    }
+                    if (valid && d->state == 2) {
+                        for (size_t bi = 0; bi < d->iset.size(); bi++)
+                            if (e.count_epoch[(size_t)d->iset[bi]] >=
+                                wave_epoch) {
+                                valid = false;
+                                break;
+                            }
+                    }
+                }
+                i64 r;
+                if (valid && d->state == 1) {
+                    g_wave_skip1++;
+                    r = 0;
+                } else if (valid && d->state == 2) {
+                    g_wave_resume++;
+                    r = process_bulges(e, k, min_branch, id, nullptr, d);
+                } else {
+                    if (d != nullptr) g_wave_stale++; else g_wave_uncached++;
+                    r = process_bulges(e, k, min_branch, id, nullptr,
+                                       nullptr);
+                }
+                total += r;
+                if (r > 0) e.visit_next[(size_t)id] = 1;
+                e.apply_step++;
+            }
+        }
+        cursor = hi;
+    }
+    return total;
 }
 
 }  // namespace
@@ -805,7 +1109,7 @@ extern "C" {
 
 void* engine_create(int n_chr, const i64* chr_lens,
                     const uint8_t* const* chars,
-                    const i64* const* origpos,
+                    const int32_t* const* origpos,
                     const i64* sep_origpos) {
     Engine* e = new Engine();
     e->n_chr = n_chr;
@@ -836,6 +1140,10 @@ void engine_set_bifs(void* handle, i64 max_id,
         e->list_head[s].assign((size_t)max_id + 2, (i64)-1);
         e->list_cnt[s].assign((size_t)max_id + 2, 0);
     }
+    e->apply_step = 0;
+    e->touched_at.assign((size_t)max_id + 2, (i64)-1);
+    e->count_epoch.assign((size_t)max_id + 2, (i64)-1);
+    e->delta_epoch.assign((size_t)e->n_chr, (i64)-1);
     e->node_strand.clear();
     e->node_chr.clear();
     e->node_pos.clear();
@@ -934,12 +1242,18 @@ i64 engine_simplify_sparse(void* handle, i64 k, i64 min_branch,
         iterations++;
         i64 before = total;
         t0 = std::chrono::steady_clock::now();
-        for (i64 id = 0; id <= e->max_id; id++) {
-            if (!e->visit_now[(size_t)id]) continue;
-            e->cur_id = id;
-            i64 r = remove_bulges(*e, k, min_branch, id);
-            total += r;
-            if (r > 0) e->visit_next[(size_t)id] = 1;
+        if (wave_window() > 0) {
+            static thread_local std::vector<DetectResult> results;
+            total += sweep_iteration_wave(*e, k, min_branch, wave_window(),
+                                          results);
+        } else {
+            for (i64 id = 0; id <= e->max_id; id++) {
+                if (!e->visit_now[(size_t)id]) continue;
+                e->cur_id = id;
+                i64 r = remove_bulges(*e, k, min_branch, id);
+                total += r;
+                if (r > 0) e->visit_next[(size_t)id] = 1;
+            }
         }
         if (prof) {
             double ms = std::chrono::duration<double, std::milli>(
@@ -952,15 +1266,25 @@ i64 engine_simplify_sparse(void* handle, i64 k, i64 min_branch,
                          (long long)(total - before), ms);
         }
         if (prof2()) {
+            std::fprintf(stderr,
+                         "[prof2] wave skip1=%lld resume=%lld stale=%lld"
+                         " uncached=%lld detect_par=%.0fms\n",
+                         (long long)g_wave_skip1, (long long)g_wave_resume,
+                         (long long)g_wave_stale, (long long)g_wave_uncached,
+                         g_wave_detect_ms);
+            g_wave_skip1 = g_wave_resume = g_wave_stale = g_wave_uncached = 0;
+            g_wave_detect_ms = 0;
             SweepStats& s = g_sweep_stats;
             std::fprintf(stderr,
                          "[prof2] sweep iter=%lld ids=%lld col=%lld"
                          " delta=%lld total=%.0fms pairs=%.0fms"
-                         " collapse=%.0fms cleanup=%.0fms\n",
+                         " collapse=%.0fms cleanup=%.0fms"
+                         " erase=%.0f repl=%.0f upd=%.0f walk=%.0f\n",
                          (long long)iterations, (long long)s.n_ids,
                          (long long)s.n_collapse, (long long)s.n_delta,
                          s.detect_ms, s.pairs_ms,
-                         s.collapse_ms, s.cleanup_ms);
+                         s.collapse_ms, s.cleanup_ms,
+                         s.erase_ms, s.replace_ms, s.update_ms, s.walk_ms);
             s.reset();
         }
         if (!(total > 0 && iterations < max_iterations)) break;
@@ -979,11 +1303,12 @@ i64 engine_chr_len(void* handle, int c) {
     return (i64)((Engine*)handle)->chars[c].size();
 }
 
-void engine_get_chr(void* handle, int c, uint8_t* chars_out, i64* origpos_out) {
+void engine_get_chr(void* handle, int c, uint8_t* chars_out,
+                    int32_t* origpos_out) {
     Engine* e = (Engine*)handle;
     std::memcpy(chars_out, e->chars[c].data(), e->chars[c].size());
     std::memcpy(origpos_out, e->origpos[c].data(),
-                e->origpos[c].size() * sizeof(i64));
+                e->origpos[c].size() * sizeof(int32_t));
 }
 
 void engine_destroy(void* handle) {

@@ -332,6 +332,7 @@ def test_pipeline_parity_with_device_candidates(monkeypatch):
     monkeypatch.setenv("SIBELIA_TPU_FORCE_DEVICE_ENUM", "1")
     dev_seq, dev_op = run_stages()
     monkeypatch.delenv("SIBELIA_TPU_FORCE_DEVICE_ENUM")
-    assert host_seq == dev_seq
+    for a, b in zip(host_seq, dev_seq):
+        assert np.array_equal(a, b)
     for a, b in zip(host_op, dev_op):
         assert np.array_equal(a, b)
