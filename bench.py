@@ -49,28 +49,37 @@ def _device_enum_rate():
 
     k = 30
     n = 1 << 22
+    reps = 8
     rng = np.random.default_rng(0)
     codes = jnp.asarray(rng.integers(1, 5, size=n, dtype=np.uint8))
 
+    # `reps` full enumerations chained DATA-DEPENDENTLY inside one jit
+    # (each iteration's result perturbs the next iteration's input, and
+    # the final scalar is a function of every iteration), so XLA can
+    # neither elide nor overlap them; one host sync per call.  Sustained
+    # throughput = reps * n / wall.
     @jax.jit
     def step(codes):
-        pos, ids, n_sel, n_groups = _enum_device_impl(codes, k)
-        s = n_sel + n_groups + pos[0] + jnp.int32(ids[0])
-        codes = jnp.where(
-            codes == 0, codes,
-            ((codes + (s & 1)) % 4 + 1).astype(jnp.uint8))
-        return codes, s
+        s_acc = jnp.int32(0)
+        for _ in range(reps):
+            pos, ids, n_sel, n_groups = _enum_device_impl(codes, k)
+            s = n_sel + n_groups + pos[0] + jnp.int32(ids[0])
+            s_acc = s_acc + s
+            codes = jnp.where(
+                codes == 0, codes,
+                ((codes + (s & 1)) % 4 + 1).astype(jnp.uint8))
+        return codes, s_acc
 
-    codes, s = step(codes)  # compile + warmup
-    acc = int(s)            # forced device sync
+    _, s = step(codes)  # compile + warmup
+    acc = int(s)        # forced device sync
     best = None
     for _ in range(4):
         t0 = time.time()
-        codes, s = step(codes)
-        acc += int(s)       # sync: the scalar only exists when the
-        dt = time.time() - t0  # whole enumeration has run
+        _, s = step(codes)
+        acc += int(s)       # sync: the scalar only exists when every
+        dt = time.time() - t0  # chained enumeration has run
         best = dt if best is None else min(best, dt)
-    return n / best, acc
+    return reps * n / best, acc
 
 
 def _host_enum_rate():

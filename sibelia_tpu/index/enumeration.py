@@ -29,8 +29,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .ranking import (CODE_OF, SEP_CODE, _PAD_BUCKET, _packed_keys, encode,
-                      kmer_ranks)
+from .ranking import (CODE_OF, SEP_CODE, _PAD_BUCKET, _pack_plan,
+                      _packed_keys, encode, kmer_ranks)
 
 NO_BIFURCATION = (1 << 32) - 1  # reference: BifurcationId(-1), uint32
 
@@ -106,89 +106,86 @@ def build_supergenome(chromosomes: list[bytes | np.ndarray]
 def _enum_device_impl(codes, k: int):
     """Fused device enumeration for k <= 32 (traceable body).
 
-    One sort of (key1, key2, invalid_flag, position) delivers every VALID
-    position grouped by k-mer in lexicographic order as a contiguous
-    prefix (invalid windows all carry the sentinel key, and the flag key
-    keeps genuine all-T windows ahead of them inside the sentinel
-    cluster), so group sizes come straight from segment bounds and the
-    bifurcation rule (vertexenumeration.cpp:67-70,227-245) reduces to
-    segment max/min of the neighbor char codes: over codes 0..4,
-    "distinct chars > 1" is segMax != segMin, "contains '#'" is
-    segMin == 0, and "any terminal member" is segMin(min(prev, next))
-    == 0.  Segment extrema use the ordinal-prefix trick — cummax of
-    (group_ordinal << 6 | value) gathered at segment ends — which
-    compiles to plain vector scans (a tuple-combiner associative_scan
-    made XLA's TPU compile time grow with n).  A final single-key sort
-    packs the selected instances ascending by position so the host
-    transfers exactly n_sel elements.
+    One sort delivers every VALID position grouped by k-mer in
+    lexicographic order as a contiguous prefix.  For k <= 31 the key is
+    a (key1, low-bits-of-key2) u32 pair with a spare low bit that keeps
+    the invalid-window sentinel distinct from a genuine all-T window, so
+    only TWO sort keys are compared; the neighbor chars ride as inert
+    payload (k == 32 needs the third key for the sentinel/all-T tie).
+
+    The bifurcation + counting rule (vertexenumeration.cpp:67-70,
+    227-245) is evaluated with THREE segmented scans and no gathers:
+
+      A[i] — some adjacent in-segment pair differs in (prev, next)
+             <=> the group has >1 distinct prev or >1 distinct next;
+      B[i] — this member touches a separator (prev==0 or next==0);
+      counted = segOR(B) | (segOR(A) & members>1)
+
+    which is algebraically the reference rule ((#prev>1 | prev has '#'
+    | #next>1 | next has '#') AND (members>1 | any terminal member)):
+    segment ORs are cummax over (ordinal<<1 | flag), `members>1` at a
+    segment's last row is just "that row is not a segment start", and a
+    reverse cummax broadcasts the last-row verdict over the segment.  A
+    final single-key sort packs the selected instances ascending by
+    position so the host transfers exactly n_sel elements.
     """
     import jax
     import jax.numpy as jnp
 
     n = codes.shape[0]
     key1, key2, next_sep = _packed_keys(codes, k)
+    b, m = _pack_plan(k)
     iota = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
     valid = (iota + k) <= next_sep
-    # third sort key: invalid flag in the high bit (keeps genuine all-T
-    # windows ahead of padding in the sentinel cluster), neighbor chars
-    # in the low bits so the scan needs no post-sort gathers for them.
-    # Within a group every row is valid and only tie order shifts, which
-    # nothing downstream observes.
     prev_all = jnp.concatenate([codes[:1], codes[:-1]]).astype(jnp.uint32)
-    next_all = jnp.take(codes, jnp.minimum(iota + k, n - 1)).astype(
-        jnp.uint32)
-    aux = (((~valid).astype(jnp.uint32) << 6) | (prev_all << 3) | next_all)
-    sk1, sk2, saux, order = jax.lax.sort((key1, key2, aux, iota),
-                                         num_keys=3, is_stable=False)
+    next_all = jnp.concatenate(
+        [codes[k:], jnp.zeros((k,), codes.dtype)]).astype(jnp.uint32)
+    aux = (prev_all << 3) | next_all  # 6 bits; only valid rows matter
+
+    if m <= 31:
+        low_bits = 2 * (m - b)
+        sk2v = (key2 & jnp.uint32((1 << low_bits) - 1)) << 1
+        sk2v = jnp.where(valid, sk2v, jnp.uint32(0xFFFFFFFF))
+        sk1, sk2, saux, order = jax.lax.sort((key1, sk2v, aux, iota),
+                                             num_keys=2, is_stable=False)
+    else:
+        aux3 = ((~valid).astype(jnp.uint32) << 6) | aux
+        sk1, sk2, saux, order = jax.lax.sort((key1, key2, aux3, iota),
+                                             num_keys=3, is_stable=False)
+        saux = saux & 63
     nv = jnp.sum(valid.astype(jnp.int32))
-    isval = iota < nv
-    start = isval & jnp.concatenate([
+    isval = iota < nv  # valid rows are exactly the sorted prefix
+    start = jnp.concatenate([
         jnp.ones((1,), jnp.bool_),
         (sk1[1:] != sk1[:-1]) | (sk2[1:] != sk2[:-1])])
 
-    # the ordinal-prefix extrema need (n_groups << 6) to fit the scan
-    # dtype; int32 covers every n below 2^25 (the supergenome of a 1 GB
-    # input needs int64)
-    sdt = jnp.int32 if n < (1 << 25) else jnp.int64
-    prev_c = ((saux >> 3) & 7).astype(sdt)
-    next_c = (saux & 7).astype(sdt)
+    prev_aux = jnp.concatenate([saux[:1], saux[:-1]])
+    A = ((~start) & (prev_aux != saux)).astype(jnp.int32)
+    B = (((saux >> 3) == 0) | ((saux & 7) == 0)).astype(jnp.int32)
 
-    # segment bounds: sidx = first slot, eidx = last VALID slot
-    sidx = jax.lax.cummax(jnp.where(start, iota, 0))
-    nxt_after = jnp.concatenate(
-        [jnp.where(start, iota, jnp.int32(n))[1:],
-         jnp.full((1,), n, jnp.int32)])
-    eidx = jnp.minimum(
-        jnp.flip(jax.lax.cummin(jnp.flip(nxt_after))) - 1, nv - 1)
-    eidx_c = jnp.maximum(eidx, 0)
+    ordinal = jnp.cumsum(start.astype(jnp.int32))
+    seg_or_a = jax.lax.cummax((ordinal << 1) | A) & 1
+    seg_or_b = jax.lax.cummax((ordinal << 1) | B) & 1
+    is_end = jnp.concatenate([start[1:], jnp.ones((1,), jnp.bool_)])
+    counted_end = jnp.where(
+        is_end,
+        seg_or_b | (seg_or_a & (~start).astype(jnp.int32)),
+        0)
+    # broadcast each segment's last-row verdict back over its rows: in
+    # flipped order the end row comes first, so a cummax keyed by the
+    # (flipped-monotone) ordinal holds it across the segment
+    max_ord = ordinal[n - 1]
+    fkey = ((max_ord - jnp.flip(ordinal)) << 1) | jnp.flip(counted_end)
+    counted = (jnp.flip(jax.lax.cummax(fkey)) & 1).astype(jnp.bool_)
 
-    ordinal = jnp.cumsum(start.astype(sdt)) << 6
-
-    def seg_max(v):
-        return jax.lax.cummax(ordinal | v) & 63
-
-    def seg_min(v):
-        return 63 - (jax.lax.cummax(ordinal | (63 - v)) & 63)
-
-    # pack the four per-position stats, then ONE gather at segment ends
-    packed = (seg_max(prev_c) | (seg_min(prev_c) << 6)
-              | (seg_max(next_c) << 12) | (seg_min(next_c) << 18))
-    g = jnp.take(packed, eidx_c)
-    pmax, pmin = g & 63, (g >> 6) & 63
-    nmax, nmin = (g >> 12) & 63, (g >> 18) & 63
-    # bif rule (vertexenumeration.cpp:67-70); a member with a separator
-    # neighbor IS the terminal condition, so pmin==0 | nmin==0 doubles
-    # as "any terminal member"
-    bif = ((pmax != pmin) | (pmin == 0) | (nmax != nmin) | (nmin == 0))
-    n_members = eidx - sidx + 1
-    counted = isval & bif & ((n_members > 1) | (pmin == 0) | (nmin == 0))
-
-    # dense ids over counted groups, in sorted (== lexicographic) order
-    id_cums = jnp.cumsum((start & counted).astype(jnp.int32))
+    # dense ids over counted groups, in sorted (== lexicographic) order;
+    # the sentinel cluster's start row sits at index nv, so the isval
+    # mask keeps it out of the numbering
+    id_cums = jnp.cumsum((start & counted & isval).astype(jnp.int32))
     ids = id_cums - 1
     n_groups = id_cums[-1]
 
-    sel = counted
+    sel = counted & isval
     n_sel = jnp.sum(sel.astype(jnp.int32))
     # pack selected instances ascending by supergenome position
     poskey = jnp.where(sel, order, jnp.int32(n))
@@ -327,10 +324,18 @@ def enumerate_bifurcations(chromosomes: list[bytes | np.ndarray], k: int,
     if n_shard and n_shard.isdigit() and int(n_shard) > 1:
         import jax as _j
         if len(_j.devices()) >= int(n_shard):
-            from ..parallel.sharded_enum import (
-                enumerate_bifurcations_sharded, production_mesh)
-            return enumerate_bifurcations_sharded(
-                chromosomes, k, production_mesh(int(n_shard)))
+            sg_total = 1 + 2 * sum(len(c) + 1 for c in chromosomes)
+            if sg_total >= (1 << 31):
+                import warnings
+                warnings.warn(
+                    "supergenome exceeds the sharded pipeline's int32 "
+                    "position space; falling back to the host "
+                    "enumeration", RuntimeWarning)
+            else:
+                from ..parallel.sharded_enum import (
+                    enumerate_bifurcations_sharded, production_mesh)
+                return enumerate_bifurcations_sharded(
+                    chromosomes, k, production_mesh(int(n_shard)))
 
     codes, block_starts = build_supergenome(chromosomes)
     n = codes.shape[0]

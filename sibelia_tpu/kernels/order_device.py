@@ -295,12 +295,30 @@ def order_mfa_device(seq1: bytes, name1: str, seq2: bytes, name2: str,
 
 
 def order_mfa_device_batch(jobs: list[tuple[bytes, str, bytes, str, str]],
-                           max_band_width: int = 8192) -> list[str | None]:
+                           max_band_width: int = 8192,
+                           mesh=None) -> list[str | None]:
     """Batched device order: jobs = [(seq1, name1, seq2, name2,
     anchors_text)].  Pairs are grouped by padded (band width, diagonal
     count, sequence length) shape and each group runs as ONE vmapped
     device dispatch; a None result marks a pair that needs the host
-    fallback."""
+    fallback.
+
+    With `mesh` (a jax.sharding.Mesh), each group's batch axis is
+    sharded over the mesh's devices — block pairs are independent, so
+    this is pure data parallelism over chips (SURVEY §2e "alignment
+    batch engine"; the reference's analogue is the per-pair process
+    pool, C-Sibelia.py:349).  Results are byte-identical to the
+    unsharded dispatch for any mesh size.  When `mesh` is None and
+    SIBELIA_TPU_SHARDED=N requests N>1 shards with enough devices, a
+    mesh is built automatically."""
+    import os as _os
+    if mesh is None:
+        n_shard = _os.environ.get("SIBELIA_TPU_SHARDED")
+        if n_shard and n_shard.isdigit() and int(n_shard) > 1:
+            import jax as _jax
+            if len(_jax.devices()) >= int(n_shard):
+                from ..parallel.sharded import make_mesh
+                mesh = make_mesh(int(n_shard), axis="pairs")
     from ..native import load_lagan
     lib = load_lagan()
     if lib is None or not hasattr(lib, "le_order_prepare"):
@@ -327,6 +345,13 @@ def order_mfa_device_batch(jobs: list[tuple[bytes, str, bytes, str, str]],
                 return out
 
             js = [prepared[i] for i in idxs]
+            nb = len(js)
+            if mesh is not None:
+                # pad the batch to a multiple of the mesh size (replicas
+                # of job 0; their rows are computed and dropped)
+                nd = mesh.devices.size
+                while len(js) % nd != 0:
+                    js.append(js[0])
             s1b = np.stack([padto(j.s1c, l1) for j in js])
             s2b = np.stack([padto(j.s2c, l2) for j in js])
             pb = np.stack([j.params for j in js])
@@ -334,9 +359,19 @@ def order_mfa_device_batch(jobs: list[tuple[bytes, str, bytes, str, str]],
             in_ = np.stack([j.init[1] for j in js])
             io = np.stack([j.init[2] for j in js])
             run = _scan_fn_batched(wmax, nd_pad)
-            rows = np.asarray(run(jnp.asarray(s1b), jnp.asarray(s2b),
-                                  jnp.asarray(pb), jnp.asarray(im),
-                                  jnp.asarray(in_), jnp.asarray(io)))
+            args = [jnp.asarray(a) for a in (s1b, s2b, pb, im, in_, io)]
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+                axis = mesh.axis_names[0]
+                shardings = [
+                    NamedSharding(mesh,
+                                  PartitionSpec(axis,
+                                                *([None] * (a.ndim - 1))))
+                    for a in args]
+                import jax as _jax
+                args = [_jax.device_put(a, s) for a, s in zip(args,
+                                                              shardings)]
+            rows = np.asarray(run(*args))[:nb]
             for bi, i in enumerate(idxs):
                 results[i] = _finish(lib, prepared[i], rows[bi],
                                      jobs[i][1], jobs[i][3])

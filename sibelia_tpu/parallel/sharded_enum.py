@@ -337,10 +337,15 @@ def enumerate_bifurcations_sharded(chromosomes: list[bytes], k: int,
     BifEnumeration, byte-identical for any mesh size."""
     if not chromosomes:
         return _empty_enumeration()
-    codes, block_starts = build_supergenome(chromosomes)
-    if codes.shape[0] >= (1 << 31):
+    # int32 position space: checked from lengths alone, before any
+    # buffer is built (the reference's 1 GB input cap would pass this,
+    # but the supergenome is ~2x the input + separators, so a legal
+    # input can exceed it; callers fall back to the host path)
+    total = 1 + 2 * sum(len(c) + 1 for c in chromosomes)
+    if total >= (1 << 31):
         raise ValueError("sharded enumeration: supergenome exceeds int32 "
                          "position space")
+    codes, block_starts = build_supergenome(chromosomes)
     n0 = int(codes.shape[0])
     n_chr = len(chromosomes)
     n_dev = int(mesh.devices.size)

@@ -72,3 +72,29 @@ def test_device_order_routing_in_lagan_pl(monkeypatch):
     dev = lagan_exact.lagan_pl_mfa(sa, "p", sb, "q")
     monkeypatch.delenv("SIBELIA_TPU_DEVICE_ORDER")
     assert dev == host
+
+
+def test_device_order_batch_sharded_matches_unsharded():
+    """Mesh-sharded batch order (pairs axis data-parallel over the
+    virtual device mesh) must be byte-identical to the unsharded batch
+    and to the host engine, including a batch size that does not divide
+    the mesh (padding replicas dropped)."""
+    import jax
+    from sibelia_tpu.parallel.sharded import make_mesh
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        pytest.skip("needs a multi-device (virtual) mesh")
+    rng = np.random.default_rng(77)
+    jobs = []
+    host = []
+    for i in range(5):  # 5 % 2 != 0: exercises the padding path
+        sa, sb = _pair(rng, 1200 + 37 * i, 12, 3 if i % 2 else 0)
+        anch = lagan_exact.rechaos(sa, "a", sb, "b", gfc=True)
+        jobs.append((sa, "a", sb, "b", anch))
+        host.append(lagan_order(sa, "a", sb, "b", anch))
+    plain = order_mfa_device_batch(jobs)
+    mesh = make_mesh(min(n_dev, 2), axis="pairs")
+    sharded = order_mfa_device_batch(jobs, mesh=mesh)
+    for p, s, h in zip(plain, sharded, host):
+        assert s == p
+        assert s is None or s == h

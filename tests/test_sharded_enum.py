@@ -120,3 +120,22 @@ def test_forced_device_k_over_32_uses_single_device_pipeline(monkeypatch):
         dev = enumerate_bifurcations(chroms, k)
         monkeypatch.delenv("SIBELIA_TPU_FORCE_DEVICE_ENUM")
         _assert_equal(host, dev, k)
+
+
+def test_sharded_enum_int32_boundary_gate():
+    """A legal-size input (under the reference's 1 GB cap) whose
+    supergenome exceeds int32 position space must be rejected by the
+    sharded pipeline BEFORE any buffer is built, and the production
+    router must fall back to the host path with a warning."""
+    import warnings
+
+    import pytest as _pytest
+
+    class FakeChrom:
+        def __len__(self):
+            return 1 << 30  # 2 chromosomes -> supergenome > 2^31
+
+    fake = [FakeChrom(), FakeChrom()]
+    mesh = make_mesh(1)
+    with _pytest.raises(ValueError, match="int32 position space"):
+        enumerate_bifurcations_sharded(fake, 30, mesh)
