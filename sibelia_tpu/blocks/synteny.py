@@ -72,63 +72,118 @@ def trim_blocks(chr_list: list[FASTARecord], block: list[Edge], trim_k: int,
                 min_size: int, rand: GlibcRand | None) -> bool:
     """Trim each copy to the outermost trim_k-mer shared with another copy
     (reference: synteny.cpp:31-122). Mutates `block` in place; returns True
-    if some copy had no shared k-mer at all (caller loops to fixpoint)."""
+    if some copy had no shared k-mer at all (caller loops to fixpoint).
+
+    The reference walks every element of every copy with a per-position
+    store probe; the serial update rule — strictly smaller sum, or equal
+    sum with a smaller bifurcation id — is exactly a lexicographic argmin
+    over (sum, bifId, walk index), so the whole walk vectorizes as one
+    expand-and-argmin over (own mark) x (other-copy instance) pairs."""
     block_seq = []
     for e in block:
         s = chr_list[e.chr].sequence[e.original_position:
                                      e.original_position + e.original_length]
         block_seq.append(s.encode())
     seq = MutableSequence(block_seq)
-    store = build_index(seq, trim_k, rand)
+    if rand is not None:
+        from ..graph.indexed import randomize_ambiguous
+        randomize_ambiguous(seq, rand)
+    from ..index.enumeration import enumerate_bifurcations
+    enum = enumerate_bifurcations(seq.chars, trim_k)
+
+    # flat node table (both strands, positive-frame coordinates)
+    lens = np.asarray([seq.chr_len(c) for c in range(seq.n_chr)],
+                      dtype=np.int64)
+    parts_s, parts_c, parts_p, parts_b = [], [], [], []
+    for strand in (0, 1):
+        chrs = enum.chr[strand].astype(np.int64)
+        poss = enum.pos[strand].astype(np.int64)
+        coords = poss if strand == 0 else lens[chrs] - 1 - poss
+        parts_s.append(np.full(chrs.size, strand, dtype=np.int8))
+        parts_c.append(chrs)
+        parts_p.append(coords)
+        parts_b.append(enum.bif_id[strand].astype(np.int64))
+    n_s = np.concatenate(parts_s) if parts_s else np.zeros(0, np.int8)
+    n_c = np.concatenate(parts_c) if parts_c else np.zeros(0, np.int64)
+    n_p = np.concatenate(parts_p) if parts_p else np.zeros(0, np.int64)
+    n_b = np.concatenate(parts_b) if parts_b else np.zeros(0, np.int64)
+
+    # group instances by bif id for partner expansion (searchsorted over
+    # the sorted unique ids — bif ids are dense, but the mini-index can
+    # hold millions of them, so no per-call dict)
+    grp_order = np.argsort(n_b, kind="stable")
+    gb = n_b[grp_order]
+    grp_starts = np.concatenate([[0], np.flatnonzero(np.diff(gb)) + 1]) \
+        if gb.size else np.zeros(1, np.int64)
+    grp_ids = gb[grp_starts] if gb.size else np.zeros(0, np.int64)
+    bounds = np.append(grp_starts, gb.size)
+
+    n_chr_blk = len(block)
+    dirs = np.asarray([e.direction for e in block], dtype=np.int64)
+    k_begin_of = np.where(dirs == 0, 0, lens - 1)
+    k_end_of = np.where(dirs == 0, lens - 1, 0)
 
     drop = False
     ret: list[Edge] = []
     for chr_i, e in enumerate(block):
         d = e.direction
         L = seq.chr_len(chr_i)
-        # walk coordinates in strand order; distances use original positions
-        # which are the identity here (fresh unsimplified index)
         begin_coord = 0 if d == 0 else L - 1
         end_coord = L - 1 if d == 0 else 0
-        min_bif_start = min_bif_end = _OO
+        # own marks on strand d (the reference walks bif_at[d][chr_i])
+        own = np.flatnonzero((n_s == d) & (n_c == chr_i))
         min_start_sum = min_end_sum = _OO
         trim_start = trim_end = None
-        walk = range(L) if d == 0 else range(L - 1, -1, -1)
-        arr = store.bif_at[d][chr_i]
-        nb = store.node_bif
-        nchr = store.node_chr
-        npos = store.node_pos
-        nstr = store.node_strand
-        for coord in walk:
-            nidx = arr[coord]
-            if nidx < 0:
-                continue
-            bif_id = int(nb[nidx])
-            for kidx in store.list_positions(bif_id):
-                kmer_chr = int(nchr[kidx])
-                if kmer_chr == chr_i:
-                    continue
-                kc = int(npos[kidx])
-                kd = block[kmer_chr].direction
-                kl = seq.chr_len(kmer_chr)
-                k_begin = 0 if kd == 0 else kl - 1
-                k_end = kl - 1 if kd == 0 else 0
-                kmer_start_dist = abs(kc - k_begin)
-                kmer_end_dist = abs(kc - k_end)
-                it_start_dist = abs(coord - begin_coord)
-                it_end_dist = abs(coord - end_coord)
-                now_start = kmer_start_dist + it_start_dist
-                now_end = kmer_end_dist + it_end_dist
-                if now_start < min_start_sum or (now_start == min_start_sum
-                                                 and bif_id < min_bif_start):
-                    min_bif_start = bif_id
-                    min_start_sum = now_start
-                    trim_start = coord
-                if now_end < min_end_sum or (now_end == min_end_sum
-                                             and bif_id < min_bif_end):
-                    min_bif_end = bif_id
-                    min_end_sum = now_end
-                    trim_end = coord
+        if own.size:
+            oc = n_p[own]
+            ob = n_b[own]
+            walk_idx = oc if d == 0 else (L - 1 - oc)
+            # expand each own mark by its bif group's members: flat
+            # range-concat via cumsum offsets (no Python per-group loop)
+            gi = np.searchsorted(grp_ids, ob)
+            g_lo = bounds[gi]
+            g_hi = bounds[gi + 1]
+            cnt = g_hi - g_lo
+            owner_rep = np.repeat(np.arange(own.size), cnt)
+            total = int(cnt.sum())
+            if total:
+                # concatenated aranges [g_lo[j], g_hi[j]) via one cumsum
+                steps = np.ones(total, dtype=np.int64)
+                steps[0] = g_lo[0]
+                head = np.cumsum(cnt)[:-1]
+                steps[head] = g_lo[1:] - (g_hi[:-1] - 1)
+                partner = grp_order[np.cumsum(steps)]
+            else:
+                partner = np.zeros(0, np.int64)
+            k_chr = n_c[partner]
+            keep = k_chr != chr_i
+            if np.any(keep):
+                owner_rep = owner_rep[keep]
+                k_chr = k_chr[keep]
+                kc = n_p[partner[keep]]
+                coord = oc[owner_rep]
+                bif = ob[owner_rep]
+                widx = walk_idx[owner_rep]
+                it_start = np.abs(coord - begin_coord)
+                it_end = np.abs(coord - end_coord)
+                now_start = np.abs(kc - k_begin_of[k_chr]) + it_start
+                now_end = np.abs(kc - k_end_of[k_chr]) + it_end
+
+                def lex_argmin(now):
+                    # staged argmin of (sum, bifId, walk index) — no
+                    # packing, so no width limits on any component
+                    c1 = now == now.min()
+                    b = bif[c1].min()
+                    c2 = c1 & (bif == b)
+                    sub = np.flatnonzero(c2)
+                    return int(sub[np.argmin(widx[sub])])
+
+                si = lex_argmin(now_start)
+                ei = lex_argmin(now_end)
+                min_start_sum = int(now_start[si])
+                min_end_sum = int(now_end[ei])
+                trim_start = int(coord[si])
+                trim_end = int(coord[ei])
         if min_start_sum < _OO and min_end_sum < _OO:
             size = abs(trim_start - trim_end) + trim_k
             if size >= min_size:
