@@ -191,6 +191,12 @@ def load_lagan() -> ctypes.CDLL | None:
         ctypes.c_char_p,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int]
+    lib.le_chaos_trans.restype = ctypes.c_void_p
+    lib.le_chaos_trans.argtypes = [
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p,
+        ctypes.c_char_p, ctypes.c_long, ctypes.c_char_p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.le_anchors.restype = ctypes.c_void_p
     lib.le_anchors.argtypes = [ctypes.c_char_p, ctypes.c_int]
     lib.le_order.restype = ctypes.c_void_p
@@ -240,6 +246,22 @@ def lagan_chaos(seq1: bytes, name1: str, seq2: bytes, name2: str,
                        seq2, len(seq2), name2.encode("latin-1"),
                        pairs_text.encode("latin-1"),
                        wl, nd, co, rsc, int(gfc), int(ext))
+    return _take_string(lib, ptr)
+
+
+def lagan_chaos_translated(seq1: bytes, name1: str, seq2: bytes,
+                           name2: str, both: bool = False, wl: int = 4,
+                           nd: int = 1, co: int = 25, rsc: int = 0,
+                           gfc: bool = False, ext: bool = False
+                           ) -> str | None:
+    """6-frame translated chaos (the reference's `chaos -t` / -b; defaults
+    mirror fchaos.c:38-62 after the -t overrides, fchaos.c:652-660)."""
+    lib = load_lagan()
+    if lib is None:
+        return None
+    ptr = lib.le_chaos_trans(seq1, len(seq1), name1.encode("latin-1"),
+                             seq2, len(seq2), name2.encode("latin-1"),
+                             int(both), wl, nd, co, rsc, int(gfc), int(ext))
     return _take_string(lib, ptr)
 
 

@@ -48,6 +48,16 @@ char* le_chaos(const char* seq1, long n1, const char* name1, const char* seq2,
   return dup_out(out);
 }
 
+// 6-frame translated chaos (fchaos -t); hits in DNA coordinates.
+char* le_chaos_trans(const char* seq1, long n1, const char* name1,
+                     const char* seq2, long n2, const char* name2, int both,
+                     int wl, int nd, int co, int rsc, int gfc, int ext) {
+  std::string out;
+  lagan::chaos_translated(seq1, n1, name1, seq2, n2, name2, both != 0, wl,
+                          nd, co, rsc, gfc != 0, ext != 0, &out);
+  return dup_out(out);
+}
+
 char* le_anchors(const char* hits_text, int gfc) {
   std::string out;
   lagan::anchors_text(hits_text, gfc != 0, &out);

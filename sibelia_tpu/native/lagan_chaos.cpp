@@ -54,13 +54,15 @@ inline int code(char c) {
   }
 }
 
+const int kMaxClasses = 16;  // >= protein's 11 classes
+
 struct TrieNode {
-  int kids[4];
+  int kids[kMaxClasses];
   int backptr;
   int height;
   std::vector<int> locs;
   explicit TrieNode(int h) : backptr(0), height(h) {
-    kids[0] = kids[1] = kids[2] = kids[3] = -1;
+    for (int i = 0; i < kMaxClasses; ++i) kids[i] = -1;
   }
 };
 
@@ -91,6 +93,15 @@ struct HitNode {
 struct Params {
   int wl, nd, co, rsc;
   bool gfc, ext;
+  // mode parameters (defaults = the nucleotide CLI defaults,
+  // fchaos.c:38-62; -p/-t override them, fchaos.c:636-660)
+  int lookback = kLookback;
+  int mgaplen = kMGapLen;
+  int gap_start = kChaosGapStart;
+  int gap_ext = kChaosGapExt;
+  const signed char* cls = nullptr;  // char -> trie class; null = ATCG
+  int n_cls = 4;
+  bool prot = false;                 // blosum62s scoring
 };
 
 class Region {
@@ -129,6 +140,14 @@ class Region {
     return last;
   }
 
+  int cls(char c) const {
+    return p_.cls ? (int)p_.cls[(unsigned char)c] : code(c);
+  }
+  int score_of(char a, char b) const {
+    return p_.prot ? blosum().m[(unsigned char)a][(unsigned char)b]
+                   : matchscore(a, b);
+  }
+
   const char* q_;
   int qn_;
   const char* d_;
@@ -153,7 +172,7 @@ class Region {
 void Region::insert_word(int pos) {  // thrtrie.c:106-124
   int node = 0;
   for (int dpt = 0; dpt < p_.wl; ++dpt) {
-    int c = code(q_[pos + dpt]);
+    int c = cls(q_[pos + dpt]);
     if (c < 0) return;
     if (nodes_[node].kids[c] < 0) {
       int nn = make_node(p_.wl - dpt - 1);
@@ -172,8 +191,8 @@ void Region::insert_string() {  // thrtrie.c:172-198
     int curr = 0, prev = 0;
     insert_word(p);
     for (int i = 0; i < p_.wl; ++i) {
-      int letprev = code(q_[p + i - 1]);
-      int letcurr = code(q_[p + i]);
+      int letprev = cls(q_[p + i - 1]);
+      int letcurr = cls(q_[p + i]);
       if (letprev < 0) break;
       prev = nodes_[prev].kids[letprev];
       if (prev < 0) break;  // defensive; paths exist for valid input
@@ -183,7 +202,7 @@ void Region::insert_string() {  // thrtrie.c:172-198
       if (curr < 0) break;
     }
   }
-  int letcurr = code(q_[qn_ - 1]);  // thrtrie.c:195-197
+  int letcurr = cls(q_[qn_ - 1]);  // thrtrie.c:195-197
   if (letcurr >= 0 && nodes_[0].kids[letcurr] >= 0)
     nodes_[nodes_[0].kids[letcurr]].backptr = 0;
 }
@@ -191,7 +210,7 @@ void Region::insert_string() {  // thrtrie.c:172-198
 void Region::get_next_words(int wordpos, std::vector<LL>* out) {
   // thrtrie.c:244-324.  `out` holds records in emission order; the caller
   // stores them reversed to match the reference's prepend-built list.
-  int letter = code(d_[wordpos]);
+  int letter = cls(d_[wordpos]);
   if (letter >= 0 && jobs_.empty())
     jobs_.push_back(Job{0, 0, {0, 0}, 0});
   if (jobs_.empty()) return;
@@ -230,7 +249,16 @@ void Region::get_next_words(int wordpos, std::vector<LL>* out) {
   };
 
   for (size_t i = 0; i < mynjobs; ++i) {
-    int myflags = ~((1 << 4) - 1);
+    // the reference stores myflags in a CHAR (thrtrie.c:250,264:
+    // `myflags = -1 - (1 << triealphasize) + 1`): for alphabets wider
+    // than 8 classes (protein: 11) the init and the per-class bits
+    // truncate, and the promoted sign-extended value makes high classes
+    // alias bit 7 — so class dedup partially fails and words are
+    // re-emitted.  That inflates numhits (deflating baseval) and is
+    // byte-visible in every translated/protein output; replicated
+    // exactly via int8_t.  For the 4-class DNA alphabet the semantics
+    // are identical to a full-width int.
+    int8_t myflags = (int8_t)(-1 - (1 << p_.n_cls) + 1);
     char first = 0;
     if (jobs_[i].numdeg > 0 &&
         jobs_[i].degloc[0] <
@@ -248,12 +276,12 @@ void Region::get_next_words(int wordpos, std::vector<LL>* out) {
         jobs_[i].node = nodes_[jobs_[i].node].backptr;
       first = 1;
       if (p_.nd - jobs_[i].numdeg > 0) {
-        for (int j = 0; j < 4; ++j) {
+        for (int j = 0; j < p_.n_cls; ++j) {
           int child = nodes_[jobs_[i].node].kids[j];
           if (!(myflags & (1 << j)) && child >= 0) {
             addjob(child, (j == letter) ? -1 : wordpos, !mydirty, (int)i);
             if (nodes_[jobs_[i].node].height == 1) emit(jobs_.back());
-            myflags |= (1 << j);
+            myflags = (int8_t)(myflags | (1 << j));
           }
         }
       } else {
@@ -262,7 +290,7 @@ void Region::get_next_words(int wordpos, std::vector<LL>* out) {
           jobs_[i].node = child;
           jobs_[i].dirty = !mydirty;
           if (nodes_[jobs_[i].node].height == 0) emit(jobs_[i]);
-          myflags = -1;
+          myflags = (int8_t)-1;
         }
       }
       if (myflags == -1) break;
@@ -282,7 +310,7 @@ int Region::chain_score(const LL& cur, int off2, const LL& prev, int off1,
   int diff2 = nodes_[cur.leaf].locs[off2] - nodes_[prev.leaf].locs[off1];
   int score = p_.wl - cur.degleft;
   gap = std::abs(gap) * kGapPenC + kGapPenO;
-  if (diff2 <= 0 || diff2 >= kLookback) return -1;
+  if (diff2 <= 0 || diff2 >= p_.lookback) return -1;
   if (diff1 >= p_.wl && diff2 >= p_.wl)
     return (int)((float)score * baseval + (float)gap);
   int mindiff = diff1 > diff2 ? diff2 : diff1;
@@ -298,12 +326,12 @@ void Region::find_prev(LL& cur, int position, int offset, float baseval) {
   int bestll = -1, bestoffset = -1;
   int myscore = p_.wl - cur.degleft;
 
-  DiagIt found = find_lt(diag - kMGapLen + 1);
+  DiagIt found = find_lt(diag - p_.mgaplen + 1);
   cur.sles[offset] = found;  // (1) — always set; may be the sentinel
   DiagIt it = found;
-  if (it->index <= diag - kMGapLen) ++it;  // always true for found < key
+  if (it->index <= diag - p_.mgaplen) ++it;  // always true for found < key
   if (it != dlist_.end() && it->index < diag) cur.sles[offset] = it;  // (2)
-  while (it != dlist_.end() && it->index < diag + kMGapLen) {
+  while (it != dlist_.end() && it->index < diag + p_.mgaplen) {
     DiagIt nxt = std::next(it);
     if (nxt != dlist_.end() && it->index < diag && nxt->index >= diag)
       cur.sles[offset] = it;  // (3)
@@ -347,7 +375,7 @@ int Region::extend_blast(int s1i, int s2i, int dir) const {
   while (peak - currscore < kDropCutoff) {
     int a = s1i + dir * i, b = s2i + dir * i;
     if (a < 0 || b < 0 || !q_[a] || !d_[b] || a >= qn_ || b >= dn_) break;
-    currscore += matchscore(q_[a], d_[b]);
+    currscore += score_of(q_[a], d_[b]);
     if (currscore > peak) {
       peak = currscore;
       peakloc = i;
@@ -367,9 +395,9 @@ int Region::extend_merge(int s1l, int s2l, int s1r, int s2r, int* dir) const {
   std::vector<int> fwd((size_t)length + 1), bwd((size_t)length + 1);
   fwd[0] = bwd[length] = 0;
   for (int i = 1; i <= length; ++i) {
-    fwd[i] = fwd[i - 1] + matchscore(q_[s1l + i], d_[s2l + i]);
+    fwd[i] = fwd[i - 1] + score_of(q_[s1l + i], d_[s2l + i]);
     bwd[length - i] =
-        bwd[length - i + 1] + matchscore(q_[s1r - i], d_[s2r - i]);
+        bwd[length - i + 1] + score_of(q_[s1r - i], d_[s2r - i]);
   }
   int bestscore = -9999999, bestloc = 0;
   for (int i = 0; i < length; ++i) {
@@ -386,7 +414,7 @@ int Region::rescore(int s1l, int s2l, int len) const {
   if (s1l < 0) { int err = -s1l; s1l += err; s2l += err; len -= err; }
   if (s2l < 0) { int err = -s2l; s1l += err; s2l += err; len -= err; }
   int tot = 0;
-  for (int i = 0; i < len; ++i) tot += matchscore(q_[s1l + i], d_[s2l + i]);
+  for (int i = 0; i < len; ++i) tot += score_of(q_[s1l + i], d_[s2l + i]);
   return tot;
 }
 
@@ -415,7 +443,7 @@ void Region::rescore_hit(LL& ll, int index) {
     int te2 = inds2[i] + p_.wl - 1 + t;
     int myscore = rescore(ts1, ts2, te1 - ts1 + 1);
     totscore += myscore;
-    totscore += kChaosGapStart + kChaosGapExt * std::abs(offset);
+    totscore += p_.gap_start + p_.gap_ext * std::abs(offset);
     chunks.back().length = te1 - ts1 + 1;
     chunks.back().score = myscore;
     chunks.push_back(Chunk{offset, 0, 0});
@@ -510,9 +538,9 @@ HitNode* Region::run() {
         t.sles[j] = own;
       }
     }
-    if (i - kLookback >= 0) flush(i - kLookback, &allhits);
+    if (i - p_.lookback >= 0) flush(i - p_.lookback, &allhits);
   }
-  for (int j = (dn_ - kLookback >= 0) ? dn_ - kLookback : 0; j < dn_; ++j)
+  for (int j = (dn_ - p_.lookback >= 0) ? dn_ - p_.lookback : 0; j < dn_; ++j)
     flush(j, &allhits);
   return allhits;
 }
@@ -525,16 +553,17 @@ bool duplicates(const HitNode* f, const HitNode* s) {
 
 class Merger {
  public:
-  Merger(const char* q, int qn, const char* d, int dn)
-      : q_(q), qn_(qn), d_(d), dn_(dn) {}
+  Merger(const char* q, int qn, const char* d, int dn,
+         const Params& p = Params{10, 1, 25, 0, false, false})
+      : q_(q), qn_(qn), d_(d), dn_(dn), p_(p) {}
 
   bool merge_overlap(Hit& h1, Hit& h2) {
     // fchaos.c:1175-1254; newscore is an int in the reference, so the float
     // combination is truncated before the comparisons.
     if (h1.s2e < h2.s2s && h1.s1e < h2.s1s) return 0;
     int offset = (h1.s1e - h1.s2e) - (h2.s1s - h2.s2s);
-    if (std::abs(offset) > kMGapLen) return 0;
-    int gappen = kChaosGapStart + kChaosGapExt * std::abs(offset);
+    if (std::abs(offset) > p_.mgaplen) return 0;
+    int gappen = p_.gap_start + p_.gap_ext * std::abs(offset);
     if ((float)(-gappen) > h1.score || (float)(-gappen) > h2.score) return 0;
     int s1l = h1.s1e - h1.chunks.back().length;
     int s2l = h1.s2e - h1.chunks.back().length;
@@ -584,6 +613,10 @@ class Merger {
   }
 
  private:
+  int score_of(char a, char b) const {
+    return p_.prot ? blosum().m[(unsigned char)a][(unsigned char)b]
+                   : matchscore(a, b);
+  }
   int extend_merge(int s1l, int s2l, int s1r, int s2r, int* dir) const {
     if (s1l < 0) { int err = -s1l; s1l += err; s2l += err; }
     if (s2l < 0) { int err = -s2l; s1l += err; s2l += err; }
@@ -593,9 +626,9 @@ class Merger {
     std::vector<int> fwd((size_t)length + 1), bwd((size_t)length + 1);
     fwd[0] = bwd[length] = 0;
     for (int i = 1; i <= length; ++i) {
-      fwd[i] = fwd[i - 1] + matchscore(q_[s1l + i], d_[s2l + i]);
+      fwd[i] = fwd[i - 1] + score_of(q_[s1l + i], d_[s2l + i]);
       bwd[length - i] =
-          bwd[length - i + 1] + matchscore(q_[s1r - i], d_[s2r - i]);
+          bwd[length - i + 1] + score_of(q_[s1r - i], d_[s2r - i]);
     }
     int bestscore = -9999999, bestloc = 0;
     for (int i = 0; i < length; ++i) {
@@ -610,13 +643,14 @@ class Merger {
     if (s1l < 0) { int err = -s1l; s1l += err; s2l += err; len -= err; }
     if (s2l < 0) { int err = -s2l; s1l += err; s2l += err; len -= err; }
     int tot = 0;
-    for (int i = 0; i < len; ++i) tot += matchscore(q_[s1l + i], d_[s2l + i]);
+    for (int i = 0; i < len; ++i) tot += score_of(q_[s1l + i], d_[s2l + i]);
     return tot;
   }
   const char* q_;
   int qn_;
   const char* d_;
   int dn_;
+  Params p_;
 };
 
 bool hit_less(const HitNode* a, const HitNode* b) {  // fchaos.c:238-241
@@ -691,8 +725,10 @@ HitNode* remove_dups(HitNode* allhits, Merger& m) {  // fchaos.c:301-333
 }
 
 void print_hits(HitNode* res, const char* name1, const char* name2,
-                int s1start, int s2start, bool gfc, std::string* out) {
-  // printHLL, '+' direction (fchaos.c:120-175)
+                int s1start, int s2start, bool gfc, std::string* out,
+                char direction = '+', int minus_len = 0) {
+  // printHLL (fchaos.c:120-228); direction '-' mirrors seq2 through
+  // minus_len (the dbase length the reference passes), fchaos.c:176-228.
   char buf[1024];
   for (HitNode* t = res; t;) {
     Hit& h = t->h;
@@ -700,32 +736,51 @@ void print_hits(HitNode* res, const char* name1, const char* name2,
       h.s1s += s1start - 1;
       h.s1e += s1start - 1;
     }
-    if (s2start > 0) {
+    if (direction == '+' && s2start > 0) {
       h.s2s += s2start - 1;
       h.s2e += s2start - 1;
     }
-    std::snprintf(buf, sizeof(buf), "%s %d %d; %s %d %d; score = %f (+)\n",
-                  name1, h.s1s + 1, h.s1e + 1, name2, h.s2s + 1, h.s2e + 1,
-                  (double)h.score);
+    if (direction == '+') {
+      std::snprintf(buf, sizeof(buf),
+                    "%s %d %d; %s %d %d; score = %f (+)\n",
+                    name1, h.s1s + 1, h.s1e + 1, name2, h.s2s + 1,
+                    h.s2e + 1, (double)h.score);
+    } else {
+      std::snprintf(buf, sizeof(buf),
+                    "%s %d %d; %s %d %d; score = %f (-)\n",
+                    name1, h.s1s + 1, h.s1e + 1, name2, minus_len - h.s2s,
+                    minus_len - h.s2e, (double)h.score);
+    }
     out->append(buf);
     if (gfc) {
       int currx = h.s1s + 1;
-      int curry = h.s2s + 1;
+      int curry = direction == '+' ? h.s2s + 1 : minus_len - h.s2s;
       for (size_t c = 0; c < h.chunks.size(); ++c) {
         const Chunk& ch = h.chunks[c];
         if (ch.length) {
-          std::snprintf(buf, sizeof(buf), "%d %d %d %d\n", currx, curry,
-                        ch.length, ch.score);
+          if (direction == '+')
+            std::snprintf(buf, sizeof(buf), "%d %d %d %d\n", currx, curry,
+                          ch.length, ch.score);
+          else
+            std::snprintf(buf, sizeof(buf), "%d %d %d %d \n", currx, curry,
+                          ch.length, ch.score);
           out->append(buf);
           currx += ch.length;
-          curry += ch.length;
+          curry += direction == '+' ? ch.length : -ch.length;
         }
         if (c + 1 >= h.chunks.size()) break;
         const Chunk& nx = h.chunks[c + 1];
-        if (nx.offset > 0)
-          curry += nx.offset;
-        else
-          currx -= nx.offset;
+        if (direction == '+') {
+          if (nx.offset > 0)
+            curry += nx.offset;
+          else
+            currx -= nx.offset;
+        } else {
+          if (nx.offset < 0)
+            currx -= nx.offset;
+          else
+            curry -= nx.offset;
+        }
       }
     }
     HitNode* dead = t;
@@ -735,6 +790,132 @@ void print_hits(HitNode* res, const char* name1, const char* name2,
 }
 
 }  // namespace
+
+
+// --- translated (6-frame peptide) mode ------------------------------------
+
+namespace {
+
+char to_peptide(const char* w, bool revcomp) {  // translate.c:8-27
+  static const char* table =
+      "KNKNTTTTRSRSIIMIQHQHPPPPRRRRLLLLEDEDAAAAGGGGVVVV*Y*YSSSS*CWCLFLF";
+  int mask = revcomp ? 3 : 0;
+  int sum = 0;
+  for (int i = 0; i < 3; ++i) {
+    sum *= 4;
+    char c = w[(i ^ mask) - (revcomp ? 1 : 0)];
+    switch (c) {
+      case 'a': case 'A': sum += (0 ^ mask); break;
+      case 'c': case 'C': sum += (1 ^ mask); break;
+      case 'g': case 'G': sum += (2 ^ mask); break;
+      case 't': case 'T': sum += (3 ^ mask); break;
+      default: return 'X';  // 'N'/'n' (translate.c:20); inputs sanitized
+    }
+  }
+  return table[sum];
+}
+
+struct TransSeq {
+  std::string pep;
+  std::string name;  // "<name>_f[+-]<frame%3>" (translate.c:64-65)
+  int numsiglets;
+};
+
+TransSeq trans_seq(const char* lets, int n, const char* name, int frame) {
+  // translate.c:30-67
+  TransSeq out;
+  bool revcomp = frame > 2;
+  int fr = frame % 3;
+  int m = (n - fr) / 3;
+  if (m < 0) m = 0;
+  out.pep.resize((size_t)m);
+  int numx = 0;
+  for (int i = 0; i < m; ++i) {
+    char c = revcomp ? to_peptide(lets + (n - 3 * (i + 1) - fr), true)
+                     : to_peptide(lets + ((int64_t)i * 3 + fr), false);
+    out.pep[(size_t)i] = c;
+    if (c == 'X') ++numx;
+  }
+  out.numsiglets = m - numx;
+  char buf[32];
+  std::snprintf(buf, sizeof(buf), "_f%c%d", revcomp ? '-' : '+', fr);
+  out.name = std::string(name) + buf;
+  return out;
+}
+
+void transloc_hits(HitNode* h, int fr1, int fr2, int len1, int len2) {
+  // fchaos.c:778-802 (transloc): peptide -> DNA coordinates
+  for (; h; h = h->next) {
+    Hit& x = h->h;
+    if (fr1 <= 2) {
+      x.s1s = x.s1s * 3 + fr1;
+      x.s1e = x.s1e * 3 + fr1;
+    } else {
+      int t = (len1 - x.s1s) * 3 + fr1 % 3;
+      x.s1s = (len1 - x.s1e) * 3 + fr1 % 3;
+      x.s1e = t;
+    }
+    if (fr2 <= 2) {
+      x.s2s = x.s2s * 3 + fr2;
+      x.s2e = x.s2e * 3 + fr2;
+    } else {
+      int t = (len2 - x.s2s) * 3 + fr2 % 3;
+      x.s2s = (len2 - x.s2e) * 3 + fr2 % 3;
+      x.s2e = t;
+    }
+  }
+}
+
+}  // namespace
+
+void chaos_translated(const char* dna1, long n1, const char* name1,
+                      const char* dna2, long n2, const char* name2,
+                      bool both, int wl, int nd, int co, int rsc, bool gfc,
+                      bool ext, std::string* out) {
+  // doTranslated (fchaos.c:804-875).  -t sets wordlen 4, mgaplen 3,
+  // lookback 8 and blosum62s scoring with -100/-100 gap penalties
+  // (fchaos.c:652-660 + readSubstMatrix on a matrix file without
+  // trailing gap entries).
+  Params p{wl, nd, co, rsc, gfc, ext};
+  p.lookback = 8;
+  p.mgaplen = 3;
+  p.gap_start = kChaosProtGapStart;
+  p.gap_ext = kChaosProtGapExt;
+  p.cls = prot_classes().cls;
+  p.n_cls = prot_classes().n;
+  p.prot = true;
+
+  TransSeq qf[6], df[6];
+  for (int i = 0; i < 6; ++i) {
+    qf[i] = trans_seq(dna1, (int)n1, name1, i);
+    df[i] = trans_seq(dna2, (int)n2, name2, i);
+  }
+  auto run_pair = [&](int i, int j, char dir) {
+    const TransSeq& a = qf[i];
+    const TransSeq& b = df[j];
+    int qn = (int)a.pep.size(), dn = (int)b.pep.size();
+    std::string qbuf(16, '\0'), dbuf(16, '\0');
+    qbuf.append(a.pep);
+    qbuf.append(16, '\0');
+    dbuf.append(b.pep);
+    dbuf.append(16, '\0');
+    Region region(qbuf.data() + 16, qn, dbuf.data() + 16, dn, a.numsiglets,
+                  p);
+    HitNode* allhits = region.run();
+    Merger m(qbuf.data() + 16, qn, dbuf.data() + 16, dn, p);
+    allhits = remove_dups(allhits, m);
+    transloc_hits(allhits, i, j, qn, dn);
+    print_hits(allhits, a.name.c_str(), b.name.c_str(), 0, 0, gfc, out, dir,
+               (int)n2);
+  };
+  for (int i = 0; i < 6; ++i)
+    for (int j = (i / 3) * 3; j < (i / 3 + 1) * 3; ++j)
+      run_pair(i, j, '+');
+  if (both)
+    for (int i = 0; i < 6; ++i)
+      for (int j = (i > 2) ? 0 : 3; j < ((i > 2) ? 3 : 6); ++j)
+        run_pair(i, j, '-');
+}
 
 void chaos_pairs(const MappedSeq& s1, const char* name1, const MappedSeq& s2,
                  const char* name2,
@@ -771,7 +952,7 @@ void chaos_pairs(const MappedSeq& s1, const char* name1, const MappedSeq& s2,
     Region region(qbuf.data() + 16, qn, dbuf.data() + 16, dn, s1.numsiglets,
                   p);
     HitNode* allhits = region.run();
-    Merger m(qbuf.data() + 16, qn, dbuf.data() + 16, dn);
+    Merger m(qbuf.data() + 16, qn, dbuf.data() + 16, dn, p);
     allhits = remove_dups(allhits, m);
     print_hits(allhits, name1, name2, a, c, gfc, out);
   }

@@ -40,6 +40,83 @@ inline int matchscore(unsigned char a, unsigned char b) {
   return subst().m[a][b];
 }
 
+
+// Protein substitution scores (reference: src/lagan/blosum62s.txt, loaded
+// for -p / -t by readSubstMatrix, fchaos.c:644,659).  The file carries no
+// trailing gap numbers, so the reference's gappenext keeps its default
+// -50 and line 629 doubles it: translated/protein chaos gap penalties are
+// -100 open and -100 extend.
+struct BlosumMatrix {
+  int m[256][256];
+  BlosumMatrix() {
+    static const char sym[25] = "ARNDCQEGHILKMFPSTWYVBZX*";
+    static const int val[24][24] = {
+        {223, -55, -111, -111, 0, -55, -55, 0, -111, -55, -55, -55, -55, -111, -55, 55, 0, -167, -111, 0, -111, -55, 0, -223},
+        {-55, 278, 0, -111, -167, 55, 0, -111, 0, -167, -111, 111, -55, -167, -111, -55, -55, -167, -111, -167, -55, 0, -55, -223},
+        {-111, 0, 334, 55, -167, 0, 0, 0, 55, -167, -167, 0, -111, -167, -111, 55, 0, -223, -111, -167, 167, 0, -55, -223},
+        {-111, -111, 55, 334, -167, 0, 111, -55, -55, -167, -223, -55, -167, -167, -55, 0, -55, -223, -167, -167, 223, 55, -55, -223},
+        {0, -167, -167, -167, 502, -167, -223, -167, -167, -55, -55, -167, -55, -111, -167, -55, -55, -111, -111, -55, -167, -167, -111, -223},
+        {-55, 55, 0, 0, -167, 278, 111, -111, 0, -167, -111, 55, 0, -167, -55, 0, -55, -111, -55, -111, 0, 167, -55, -223},
+        {-55, 0, 0, 111, -223, 111, 278, -111, 0, -167, -167, 55, -111, -167, -55, 0, -55, -167, -111, -111, 55, 223, -55, -223},
+        {0, -111, 0, -55, -167, -111, -111, 334, -111, -223, -223, -111, -167, -167, -111, 0, -111, -111, -167, -167, -55, -111, -55, -223},
+        {-111, 0, 55, -55, -167, 0, 0, -111, 446, -167, -167, -55, -111, -55, -111, -55, -111, -111, 111, -167, 0, 0, -55, -223},
+        {-55, -167, -167, -167, -55, -167, -167, -223, -167, 223, 111, -167, 55, 0, -167, -111, -55, -167, -55, 167, -167, -167, -55, -223},
+        {-55, -111, -167, -223, -55, -111, -167, -223, -167, 111, 223, -111, 111, 0, -167, -111, -55, -111, -55, 55, -223, -167, -55, -223},
+        {-55, 111, 0, -55, -167, 55, 55, -111, -55, -167, -111, 278, -55, -167, -55, 0, -55, -167, -111, -111, 0, 55, -55, -223},
+        {-55, -55, -111, -167, -55, 0, -111, -167, -111, 55, 111, -55, 278, 0, -111, -55, -55, -55, -55, 55, -167, -55, -55, -223},
+        {-111, -167, -167, -167, -111, -167, -167, -167, -55, 0, 0, -167, 0, 334, -223, -111, -111, 55, 167, -55, -167, -167, -55, -223},
+        {-55, -111, -111, -55, -167, -55, -55, -111, -111, -167, -167, -55, -111, -223, 390, -55, -55, -223, -167, -111, -111, -55, -111, -223},
+        {55, -55, 55, 0, -55, 0, 0, 0, -55, -111, -111, 0, -55, -111, -55, 223, 55, -167, -111, -111, 0, 0, 0, -223},
+        {0, -55, 0, -55, -55, -55, -55, -111, -111, -55, -55, -55, -55, -111, -55, 55, 278, -111, -111, 0, -55, -55, 0, -223},
+        {-167, -167, -223, -223, -111, -111, -167, -111, -111, -167, -111, -167, -55, 55, -223, -167, -111, 613, 111, -167, -223, -167, -111, -223},
+        {-111, -111, -111, -167, -111, -55, -111, -167, 111, -55, -55, -111, -55, 167, -167, -111, -111, 111, 390, -55, -167, -111, -55, -223},
+        {0, -167, -167, -167, -55, -111, -111, -167, -167, 167, 55, -111, 55, -55, -111, -111, 0, -167, -55, 223, -167, -111, -55, -223},
+        {-111, -55, 167, 223, -167, 0, 55, -55, 0, -167, -223, 0, -167, -167, -111, 0, -55, -223, -167, -167, 223, 55, -55, -223},
+        {-55, 0, 0, 55, -167, 167, 223, -111, 0, -167, -167, 55, -55, -167, -55, 0, -55, -167, -111, -111, 55, 223, -55, -223},
+        {0, -55, -55, -55, -111, -55, -55, -55, -55, -55, -55, -55, -55, -55, -111, 0, 0, -111, -55, -55, -55, -55, -55, -223},
+        {-223, -223, -223, -223, -223, -223, -223, -223, -223, -223, -223, -223, -223, -223, -223, -223, -223, -223, -223, -223, -223, -223, -223, 55},
+    };
+    std::memset(m, 0, sizeof(m));
+    for (int i = 0; i < 24; ++i)
+      for (int j = 0; j < 24; ++j)
+        m[(unsigned char)sym[i]][(unsigned char)sym[j]] = val[i][j];
+  }
+};
+
+inline const BlosumMatrix& blosum() {
+  static const BlosumMatrix b;
+  return b;
+}
+
+const int kChaosProtGapStart = -100;
+const int kChaosProtGapExt = -100;
+
+// Trie alphabet classes: prottriealpha "PCMH[DE][KR][NQ][ST][ILV][FYW][AG]"
+// parsed as makeAlpha does (thrtrie.c:19-39): 11 classes; X and * are
+// non-significant (class -1).
+struct ProtClasses {
+  signed char cls[256];
+  int n;
+  ProtClasses() {
+    for (int i = 0; i < 256; ++i) cls[i] = -1;
+    const char* a = "PCMH[DE][KR][NQ][ST][ILV][FYW][AG]";
+    int i = 0, isin = 0;
+    while (*a) {
+      if (!isin && *a == '[') isin = 1;
+      else if (isin && *a == ']') { isin = 0; ++i; }
+      else if (isin) cls[(unsigned char)*a] = (signed char)i;
+      else cls[(unsigned char)*a] = (signed char)i++;
+      ++a;
+    }
+    n = i;
+  }
+};
+
+inline const ProtClasses& prot_classes() {
+  static const ProtClasses p;
+  return p;
+}
+
 // chaos doubles nucmatrix's continue penalty and uses it for open and extend
 // (fchaos.c:627-629): both -50.  order reads -400/-25 directly.
 const int kChaosGapStart = -50;

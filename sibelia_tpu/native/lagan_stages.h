@@ -12,6 +12,10 @@ namespace lagan {
 
 // chaos over a list of 1-based inclusive region pairs (the -pairs protocol,
 // fchaos.c:743-776); appends the reference binary's stdout text to *out.
+void chaos_translated(const char* dna1, long n1, const char* name1,
+                      const char* dna2, long n2, const char* name2,
+                      bool both, int wl, int nd, int co, int rsc, bool gfc,
+                      bool ext, std::string* out);
 void chaos_pairs(const MappedSeq& s1, const char* name1, const MappedSeq& s2,
                  const char* name2,
                  const std::vector<std::array<int, 4>>& pairs, int wl, int nd,

@@ -66,6 +66,13 @@ struct HVec {
   const T* data() const { return ptr; }
   T& operator[](size_t i) { return ptr[i]; }
   const T& operator[](size_t i) const { return ptr[i]; }
+  void release() {
+    if (!ptr) return;
+    if (bytes) munmap(ptr, bytes); else std::free(ptr);
+    ptr = nullptr;
+    cap = 0;
+    bytes = 0;
+  }
   void resize(size_t n) {
     if (n <= cap) return;
     size_t want = n + n / 8;  // slack so stagewise growth remaps rarely
@@ -154,6 +161,22 @@ SortArena& sort_arena() {
   static SortArena a;
   return a;
 }
+
+void sort_arena_release() {
+  SortArena& a = sort_arena();
+  for (int s = 0; s < 2; ++s) {
+    a.k[s].release();
+    a.i[s].release();
+    a.i64[s].release();
+  }
+}
+
+// Above this element count, single-use arenas are unmapped as soon as
+// their phase ends: at genome scale the persistent-arena policy (which
+// exists to avoid re-fault churn on the many small mini-index calls)
+// would otherwise hold tens of GB across the whole pipeline.
+const int64_t kReleaseThreshold = (int64_t)1 << 27;  // 134M
+
 
 template <typename IdxT>
 void radix_argsort_impl(const uint64_t* keys, int64_t* idx, int64_t n,
@@ -268,13 +291,14 @@ void radix_argsort_u64_sk(uint64_t* keys, int64_t* idx, int64_t n) {
 // churn dominated the steady-state sort cost before this).
 struct RankArena {
   HVec<int64_t> next_sep, r, active, sub, nact, rank, order;
-  HVec<uint64_t> p, shifted, big, key;
+  HVec<uint32_t> p, shifted;   // packed 16-char words (32-bit)
+  HVec<uint64_t> big, key;
   HVec<uint8_t> grp, ngrp, gflag;
   HVec<int32_t> cursor;
   HVec<int64_t> qa, qb;   // LCP refinement: query base/member positions
   HVec<int32_t> ql;       // answered match lengths (capped at k)
   HVec<int32_t> wh;       // word-granular next-mismatch horizon
-  HVec<uint64_t> hk[4];   // block-mix signature lanes (ping-pong A/B pairs)
+  HVec<uint64_t> hk[3];   // block-mix signature lanes + one scratch
 };
 RankArena& rank_arena() {
   static RankArena a;
@@ -386,14 +410,14 @@ static inline int64_t first_diff_char32(uint32_t x) {
 // If the buffer is exhausted without a mismatch, the suffixes are equal
 // to the horizon and full match (cap) is reported — positions that deep
 // are invalid windows whose exact refinement is out of contract anyway.
-static inline int64_t lcp_direct(const uint64_t* pp, int64_t p, int64_t q,
+static inline int64_t lcp_direct(const uint32_t* pp, int64_t p, int64_t q,
                                  int64_t l0, int64_t cap,
                                  int64_t words_end) {
   int64_t hi = p > q ? p : q;
   int64_t scan_cap = cap < words_end - hi ? cap : words_end - hi;
   int64_t l = l0;
   while (l < scan_cap) {
-    uint32_t x = (uint32_t)pp[p + l] ^ (uint32_t)pp[q + l];
+    uint32_t x = pp[p + l] ^ pp[q + l];
     if (x) {
       int64_t len = l + first_diff_char32(x);
       return len < cap ? len : cap;
@@ -405,7 +429,7 @@ static inline int64_t lcp_direct(const uint64_t* pp, int64_t p, int64_t q,
 
 struct LcpRefineCtx {
   const uint8_t* codes;
-  const uint64_t* pp;
+  const uint32_t* pp;
   const int64_t* next_sep;
   int64_t n, k, pad;
   int64_t char_at(int64_t i) const { return i < n ? (int64_t)codes[i] : 0; }
@@ -514,13 +538,13 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
 
   if ((int64_t)ar.p.size() < n + pad) ar.p.resize(n + pad);
   if ((int64_t)ar.shifted.size() < n + pad) ar.shifted.resize(n + pad);
-  uint64_t* pp = ar.p.data();
-  uint64_t* sh = ar.shifted.data();
+  uint32_t* pp = ar.p.data();
+  uint32_t* sh = ar.shifted.data();
   {
     Prof _p_pack("pack");
     parallel_for(n + pad, [&](int64_t lo, int64_t hi) {
       for (int64_t i = lo; i < hi; ++i) {
-        uint64_t c = (i < n) ? codes[i] : 0;
+        uint32_t c = (i < n) ? codes[i] : 0;
         pp[i] = (c - 1) & 3;
       }
     });
@@ -528,7 +552,7 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
     while (width < b) {
       parallel_for(n + pad, [&](int64_t lo, int64_t hi) {
         for (int64_t i = lo; i < hi; ++i) {
-          uint64_t x = (i + width < n + pad) ? pp[i + width] : 0;
+          uint32_t x = (i + width < n + pad) ? pp[i + width] : 0;
           sh[i] = (pp[i] << (2 * width)) | x;
         }
       });
@@ -536,6 +560,13 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
       width *= 2;
     }
   }
+  // keep the final packed words in ar.p and drop the ping-pong partner:
+  // every later consumer reads through `pp`
+  if (pp != ar.p.data()) {
+    std::memcpy(ar.p.data(), pp, (size_t)(n + pad) * sizeof(uint32_t));
+    pp = ar.p.data();
+  }
+  ar.shifted.release();
 
   if ((int64_t)ar.big.size() < n) ar.big.resize(n);
   uint64_t* big = ar.big.data();
@@ -543,7 +574,7 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
   parallel_for(n, [&](int64_t lo, int64_t hi) {
     for (int64_t i = lo; i < hi; ++i) {
       bool valid = (i + m) <= nsep[i];
-      big[i] = valid ? ((pp[i] << 32) | pp[off + i])
+      big[i] = valid ? (((uint64_t)pp[i] << 32) | pp[off + i])
                      : 0xFFFFFFFFFFFFFFFFULL;
     }
   });
@@ -609,18 +640,23 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
     run_all(phase2);
   }
 
+  if (n >= kReleaseThreshold) {
+    // sorted keys and radix scratch are dead from here on
+    ar.big.release();
+    sort_arena_release();
+  }
+
   if (k <= 32) return;
 
   if (blockmix_enabled()) {
     LcpRefineCtx ctx{codes, pp, ar.next_sep.data(), n, k, pad};
     // 1) fold the covering 32-rank tuple into 128-bit signatures
     int64_t ext = n + k + 64;
-    for (int s = 0; s < 4; ++s)
+    for (int s = 0; s < 3; ++s)
       if ((int64_t)ar.hk[s].size() < ext) ar.hk[s].resize((size_t)ext);
     uint64_t* ha = ar.hk[0].data();
     uint64_t* hb = ar.hk[1].data();
-    uint64_t* ha2 = ar.hk[2].data();
-    uint64_t* hb2 = ar.hk[3].data();
+    uint64_t* sc = ar.hk[2].data();  // one scratch serves both lanes
     {
       Prof _p("blockmix_fold");
       parallel_for(ext, [&](int64_t lo, int64_t hi) {
@@ -630,30 +666,26 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
           hb[i] = mixB(r, 0);
         }
       });
-      int64_t L = 32;
-      while (L * 2 <= k) {
-        parallel_for(ext, [&](int64_t lo, int64_t hi) {
+      auto fold_lane = [&](uint64_t*& lane, int64_t off3, int64_t lim,
+                           bool lane_a) {
+        parallel_for(lim, [&](int64_t lo, int64_t hi) {
           for (int64_t i = lo; i < hi; ++i) {
-            int64_t j = i + L < ext ? i + L : ext - 1;
-            ha2[i] = mixA(ha[i], ha[j]);
-            hb2[i] = mixB(hb[i], hb[j]);
+            int64_t j = i + off3 < ext ? i + off3 : ext - 1;
+            sc[i] = lane_a ? mixA(lane[i], lane[j])
+                           : mixB(lane[i], lane[j]);
           }
         });
-        std::swap(ha, ha2);
-        std::swap(hb, hb2);
+        std::swap(lane, sc);
+      };
+      int64_t L = 32;
+      while (L * 2 <= k) {
+        fold_lane(ha, L, ext, true);
+        fold_lane(hb, L, ext, false);
         L *= 2;
       }
       // final overlapped combine: covers exactly k chars
-      int64_t off2 = k - L;
-      parallel_for(n, [&](int64_t lo, int64_t hi) {
-        for (int64_t i = lo; i < hi; ++i) {
-          int64_t j = i + off2 < ext ? i + off2 : ext - 1;
-          ha2[i] = mixA(ha[i], ha[j]);
-          hb2[i] = mixB(hb[i], hb[j]);
-        }
-      });
-      std::swap(ha, ha2);
-      std::swap(hb, hb2);
+      fold_lane(ha, k - L, n, true);
+      fold_lane(hb, k - L, n, false);
     }
     // 2) per-bucket resolution: classes by signature, order by one
     // bounded suffix walk per class-representative pair

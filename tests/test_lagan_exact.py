@@ -124,3 +124,54 @@ def test_mlagan_differential(tmp_path):
                            env=env, cwd=str(tmp_path), capture_output=True)
         assert r.returncode == 0
         assert mlagan_fasta(seqs, names) == r.stdout.decode(), seed
+
+
+# ---------------------------------------------------------------------------
+# Translated (6-frame peptide) chaos — fchaos -t twin
+# ---------------------------------------------------------------------------
+
+def _translated_pair(seed, n_codons=300, mut=0.10):
+    # codon-structured homologs with moderate divergence: the regime
+    # where the reference `chaos -t` terminates (it degenerates on
+    # near-identical inputs — the char-width flag truncation inflates
+    # its word stream quadratically; see lagan_chaos.cpp)
+    rng = random.Random(seed)
+    codons = [a + b + c for a in "ACGT" for b in "ACGT" for c in "ACGT"]
+    a = [rng.choice(codons) for _ in range(n_codons)]
+    b = [(rng.choice(codons) if rng.random() < mut else cd) for cd in a]
+    return "".join(a).encode(), "".join(b).encode()
+
+
+@needs_native
+@pytest.mark.parametrize("seed,both,gfc", [(1, False, False),
+                                           (2, True, False),
+                                           (3, False, True)])
+def test_chaos_translated_vs_reference(seed, both, gfc, tmp_path):
+    from sibelia_tpu.native import lagan_chaos_translated
+    sa, sb = _translated_pair(seed)
+    got = lagan_chaos_translated(sa, "seqA", sb, "seqB", both=both, gfc=gfc)
+    assert got is not None
+
+    chaos_bin = os.path.join(LAGAN_DIR, "chaos")
+    if (os.environ.get("SIBELIA_TPU_GOLDEN") != "1"
+            or not os.path.exists(chaos_bin)):
+        pytest.skip("oracle binary not built or SIBELIA_TPU_GOLDEN unset")
+
+    def wrap(seq):
+        return "\n".join(seq[i:i + 60] for i in range(0, len(seq), 60))
+
+    fa = tmp_path / "a.fa"
+    fb = tmp_path / "b.fa"
+    fa.write_text(">seqA\n" + wrap(sa.decode()) + "\n")
+    fb.write_text(">seqB\n" + wrap(sb.decode()) + "\n")
+    args = [chaos_bin, str(fa), str(fb), "-t"]
+    if both:
+        args.append("-b")
+    if gfc:
+        args.append("-gfc")
+    env = dict(os.environ)
+    env["LAGAN_DIR"] = os.path.abspath(LAGAN_DIR)
+    r = subprocess.run(args, capture_output=True, text=True, timeout=300,
+                       env=env)
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert r.stdout == got
