@@ -154,6 +154,17 @@ def _enum_device_impl(codes, k: int):
                                              num_keys=3, is_stable=False)
         saux = saux & 63
     nv = jnp.sum(valid.astype(jnp.int32))
+    if _pallas_scan_active():
+        # the whole post-sort segment pipeline as three Pallas streaming
+        # passes (kernels/enum_scan.py); bit-identical to the XLA
+        # formulation below (differential test in tests/test_enum_scan.py)
+        from ..kernels.enum_scan import enum_segment_scan
+        interp = _jax.default_backend() != "tpu"  # tests force via env
+        ids_p, poskey_p, n_groups, n_sel = enum_segment_scan(
+            sk1, sk2, saux, order, interp, nv, n)
+        pos_sorted, id_sorted = jax.lax.sort((poskey_p, ids_p), num_keys=1,
+                                             is_stable=False)
+        return pos_sorted, id_sorted, n_sel, n_groups
     isval = iota < nv  # valid rows are exactly the sorted prefix
     start = jnp.concatenate([
         jnp.ones((1,), jnp.bool_),
@@ -195,6 +206,26 @@ def _enum_device_impl(codes, k: int):
 
 
 import jax as _jax  # ranking (imported above) already pulls jax in
+
+_PALLAS_SCAN = None  # resolved once: real-TPU backend + env override
+
+
+def _pallas_scan_active() -> bool:
+    """Use the Pallas segment-scan kernels when compiling for an actual
+    TPU (Mosaic targets TPU; on the CPU backend interpret mode would be
+    slower than the XLA formulation).  SIBELIA_TPU_PALLAS_SCAN=0 forces
+    the XLA scans, =1 forces Pallas regardless of backend."""
+    global _PALLAS_SCAN
+    env = os.environ.get("SIBELIA_TPU_PALLAS_SCAN")
+    if env is not None:
+        return env != "0"
+    if _PALLAS_SCAN is None:
+        try:
+            _PALLAS_SCAN = _jax.default_backend() == "tpu"
+        except Exception:
+            _PALLAS_SCAN = False
+    return _PALLAS_SCAN
+
 
 # banded self-join width for the device bulge-candidate prefilter: pairs
 # beyond this many instances apart fall back to a conservative
