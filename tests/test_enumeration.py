@@ -336,3 +336,91 @@ def test_pipeline_parity_with_device_candidates(monkeypatch):
         assert np.array_equal(a, b)
     for a, b in zip(host_op, dev_op):
         assert np.array_equal(a, b)
+
+
+def test_native_kmer_ranks_blockmix_adversarial():
+    """Shapes that stress the block-mix backend specifically: periodic
+    sequences (giant buckets whose classes share deep prefixes, driving
+    the class-rep lex comparator), exact tandem repeats (classes that
+    survive at k >> 32), homopolymer runs, and buckets mixing valid and
+    invalid windows near separators."""
+    import numpy as np
+    import sibelia_tpu.native as nat
+    from sibelia_tpu.index.ranking import kmer_ranks_numpy
+
+    if nat.load_ranking() is None:
+        import pytest
+        pytest.skip("native engine unavailable")
+    rng = np.random.default_rng(23)
+    sep = np.zeros(1, dtype=np.uint8)
+
+    period7 = np.tile(rng.integers(1, 5, size=7).astype(np.uint8), 800)
+    unit = rng.integers(1, 5, size=97).astype(np.uint8)
+    tandem = np.tile(unit, 60)
+    homop = np.full(1500, 4, dtype=np.uint8)
+    noise = rng.integers(1, 5, size=2000).astype(np.uint8)
+    near = np.concatenate([unit, unit, unit[:50],
+                           rng.integers(1, 5, size=5).astype(np.uint8),
+                           unit[55:], unit])
+    codes = np.concatenate([sep, period7, sep, tandem, sep, homop, sep,
+                            noise, sep, near, sep])
+    for k in (33, 48, 97, 194, 500, 1500):
+        r1, o1 = kmer_ranks_numpy(codes, k)
+        r2, o2 = nat.kmer_ranks_native(codes, k)
+        _assert_valid_parity(codes, k, r1, o1, r2, o2)
+
+
+def test_native_kmer_ranks_blockmix_vs_lcp_backend():
+    """The two k>32 backends (block-mix default, LCP via
+    SIBELIA_TPU_BLOCKMIX=0) must satisfy the same contract on the same
+    inputs — checked via subprocesses because the backend flag is read
+    once per process."""
+    import subprocess
+    import sys
+
+    import numpy as np
+    import sibelia_tpu.native as nat
+
+    if nat.load_ranking() is None:
+        import pytest
+        pytest.skip("native engine unavailable")
+    import os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = r"""
+import hashlib, sys
+import numpy as np
+sys.path.insert(0, %r)
+import sibelia_tpu.native as nat
+rng = np.random.default_rng(31)
+base = rng.integers(1, 5, size=60000).astype(np.uint8)
+twin = base.copy()
+twin[rng.integers(0, len(twin), size=25)] = rng.integers(1, 5, size=25)
+sep = np.zeros(1, dtype=np.uint8)
+codes = np.concatenate([sep, base, sep, twin, sep])
+h = hashlib.sha256()
+for k in (33, 100, 999):
+    r, o = nat.kmer_ranks_native(codes, k)
+    # hash the contract surface: valid-position order + grouping
+    n = len(codes)
+    idx = np.arange(n)
+    sep_idx = np.where(codes == 0, idx, n)
+    next_sep = np.minimum.accumulate(sep_idx[::-1])[::-1]
+    valid = (idx + k) <= next_sep
+    ov = o[valid[o]]
+    h.update(ov.astype(np.int64).tobytes())
+    gstart = np.flatnonzero(np.concatenate(
+        [[True], r[ov[1:]] != r[ov[:-1]]]))
+    h.update(gstart.astype(np.int64).tobytes())
+print(h.hexdigest())
+""" % (repo,)
+    import os
+    outs = []
+    for flag in ("1", "0"):
+        env = dict(os.environ)
+        env["SIBELIA_TPU_BLOCKMIX"] = flag
+        env["JAX_PLATFORMS"] = "cpu"
+        rr = subprocess.run([sys.executable, "-c", script], env=env,
+                            capture_output=True, text=True, timeout=300)
+        assert rr.returncode == 0, rr.stderr[-1500:]
+        outs.append(rr.stdout.strip())
+    assert outs[0] == outs[1], outs
