@@ -295,8 +295,10 @@ struct Engine {
     std::vector<std::vector<uint8_t> > chars;
     std::vector<std::vector<int32_t> > origpos;  // fits the 1 GB input cap
     std::vector<i64> sep_origpos;
-    // bifurcation store
-    std::vector<std::vector<i64> > bif_at[2];
+    // bifurcation store: per (strand, chr) position -> node index
+    // (int32: node count is bounded by instances + collapse re-adds,
+    // far under 2^31; halves the delta-splice memmoves)
+    std::vector<std::vector<int32_t> > bif_at[2];
     std::vector<MarkBits> mark_bits[2];  // mark presence per (strand, chr)
     std::vector<int8_t> node_strand;
     std::vector<int32_t> node_chr;
@@ -347,10 +349,10 @@ struct Engine {
     }
 
     i64 get_node_at(int strand, int c, i64 pos) const {
-        return bif_at[strand][c][pos];
+        return (i64)bif_at[strand][c][pos];
     }
     i64 get_bif(int strand, int c, i64 pos) const {
-        i64 idx = bif_at[strand][c][pos];
+        int32_t idx = bif_at[strand][c][pos];
         return idx < 0 ? NO_BIF : node_bif[idx];
     }
     size_t count_bifurcations(i64 bif) const {
@@ -365,7 +367,7 @@ struct Engine {
         node_pos.push_back(pos);
         node_bif.push_back(bif);
         nodes_of_chr[c].push_back(idx);
-        bif_at[strand][c][pos] = idx;
+        bif_at[strand][c][pos] = (int32_t)idx;
         mark_bits[strand][c].set(pos);
         node_next.push_back(list_head[strand][bif]);
         list_head[strand][bif] = idx;
@@ -376,7 +378,7 @@ struct Engine {
         }
     }
     void erase_point(int strand, int c, i64 pos) {
-        i64 idx = bif_at[strand][c][pos];
+        i64 idx = (i64)bif_at[strand][c][pos];
         if (idx < 0) return;
         i64 bif = node_bif[idx];
         bif_at[strand][c][pos] = -1;
@@ -404,19 +406,20 @@ struct Engine {
     void apply_splice(int c, i64 start, i64 stop, i64 new_len) {
         i64 delta = new_len - (stop - start);
         for (int strand = 0; strand < 2; strand++) {
-            std::vector<i64>& arr = bif_at[strand][c];
+            std::vector<int32_t>& arr = bif_at[strand][c];
             if (delta == 0) {
                 // collapse protocol already erased every mark in the span
                 // (bits too), so the bitmap needs no update here
-                std::fill(arr.begin() + start, arr.begin() + stop, (i64)-1);
+                std::fill(arr.begin() + start, arr.begin() + stop,
+                          (int32_t)-1);
             } else if (delta < 0) {
                 arr.erase(arr.begin() + start + new_len, arr.begin() + stop);
                 std::fill(arr.begin() + start, arr.begin() + start + new_len,
-                          (i64)-1);
+                          (int32_t)-1);
             } else {
-                arr.insert(arr.begin() + stop, (size_t)delta, (i64)-1);
+                arr.insert(arr.begin() + stop, (size_t)delta, (int32_t)-1);
                 std::fill(arr.begin() + start, arr.begin() + start + new_len,
-                          (i64)-1);
+                          (int32_t)-1);
             }
             if (delta != 0) mark_bits[strand][c].splice(start, stop, new_len);
         }
@@ -451,7 +454,7 @@ void mark_walk_neighbors(Engine& e, i64 k, int c, i64 span_start, i64 sd) {
         if (wlo < 0) wlo = 0;
         if (whi > len - 1) whi = len - 1;
         const MarkBits& bits = e.mark_bits[strand][c];
-        const std::vector<i64>& arr = e.bif_at[strand][c];
+        const std::vector<int32_t>& arr = e.bif_at[strand][c];
         for (i64 p = bits.next_set(wlo); p >= 0 && p <= whi;
              p = bits.next_set(p + 1)) {
             e.flag_id(e.node_bif[arr[p]]);
@@ -475,7 +478,7 @@ struct Mark { i64 step; i64 node; };
 void scan_forward(const Engine& e, int strand, int c, i64 pos, i64 max_steps,
                   std::vector<Mark>& out) {
     out.clear();
-    const std::vector<i64>& arr = e.bif_at[strand][c];
+    const std::vector<int32_t>& arr = e.bif_at[strand][c];
     const MarkBits& bits = e.mark_bits[strand][c];
     if (strand == 0) {
         i64 hi = std::min(pos + max_steps, (i64)arr.size());
@@ -791,7 +794,7 @@ void collect_footprint(const Engine& e, i64 k, i64 mb,
         if (lo < 0) lo = 0;
         if (hi > len - 1) hi = len - 1;
         const MarkBits& bits = e.mark_bits[strand][c];
-        const std::vector<i64>& arr = e.bif_at[strand][c];
+        const std::vector<int32_t>& arr = e.bif_at[strand][c];
         for (i64 p = bits.next_set(lo); p >= 0 && p <= hi;
              p = bits.next_set(p + 1)) {
             i64 b = e.node_bif[arr[p]];
@@ -1121,7 +1124,8 @@ void* engine_create(int n_chr, const i64* chr_lens,
         e->chars[c].assign(chars[c], chars[c] + chr_lens[c]);
         e->origpos[c].assign(origpos[c], origpos[c] + chr_lens[c]);
         for (int s = 0; s < 2; s++) {
-            e->bif_at[s].push_back(std::vector<i64>((size_t)chr_lens[c], -1));
+            e->bif_at[s].push_back(
+                std::vector<int32_t>((size_t)chr_lens[c], -1));
             e->mark_bits[s].push_back(MarkBits());
             e->mark_bits[s].back().init(chr_lens[c]);
         }
@@ -1162,7 +1166,7 @@ void engine_set_bifs(void* handle, i64 max_id,
             e->node_pos.push_back(coords[s][i]);
             e->node_bif.push_back(bifs[s][i]);
             e->nodes_of_chr[chrs[s][i]].push_back(idx);
-            e->bif_at[s][chrs[s][i]][coords[s][i]] = idx;
+            e->bif_at[s][chrs[s][i]][coords[s][i]] = (int32_t)idx;
             e->mark_bits[s][chrs[s][i]].set(coords[s][i]);
             e->node_next.push_back(e->list_head[s][bifs[s][i]]);
             e->list_head[s][bifs[s][i]] = idx;
