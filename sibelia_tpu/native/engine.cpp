@@ -1294,10 +1294,22 @@ i64 engine_simplify_sparse(void* handle, i64 k, i64 min_branch,
         if (!(total > 0 && iterations < max_iterations)) break;
         e->visit_now.swap(e->visit_next);
         std::fill(e->visit_next.begin(), e->visit_next.end(), 0);
-        bool any = false;
-        for (size_t i = 0; i < e->visit_now.size() && !any; i++)
-            any = e->visit_now[i] != 0;
-        if (!any) break;  // remaining reference iterations are no-ops
+        i64 n_flagged = 0;
+        for (size_t i = 0; i < e->visit_now.size(); i++)
+            n_flagged += e->visit_now[i];
+        if (n_flagged == 0) break;  // remaining iterations are no-ops
+        if (n_flagged > (e->max_id + 1) / 8) {
+            // The side-effect flags are a sound but loose bound: after a
+            // collapse-heavy pass most flagged ids have no bulge left.
+            // The parallel prefilter is a SUPERSET of "AnyBulges reports
+            // a group" (same guarantee the sparse driver already relies
+            // on), so intersecting it with the flags only skips ids the
+            // serial reference would leave untouched.
+            std::vector<uint8_t> cand;
+            prefilter_candidates(*e, k, min_branch, cand);
+            for (size_t i = 0; i < e->visit_now.size(); i++)
+                e->visit_now[i] &= cand[i];
+        }
     }
     e->tracking = false;
     return total;
