@@ -164,9 +164,7 @@ def _fwd_kernel(sk1_ref, sk2_ref, aux_ref, packed_ref, carry_ref):
     seg_a = jnp.maximum(_tile_cummax((ordinal << 1) | A), carry_ref[4]) & 1
     seg_b = jnp.maximum(_tile_cummax((ordinal << 1) | B), carry_ref[5]) & 1
 
-    # end rows: next row starts a new segment; the LAST global row is
-    # finalized by the caller appending a sentinel tile is avoided by
-    # treating the final row of the final tile as an end row
+    # end rows: the next row starts a new segment
     def next_of(v, fill):
         nx = pltpu.roll(v, LANE - 1, 1)      # lane +1 (wraps)
         rowdn = pltpu.roll(nx, SUB - 1, 0)   # next row for the last lane
@@ -174,7 +172,7 @@ def _fwd_kernel(sk1_ref, sk2_ref, aux_ref, packed_ref, carry_ref):
         last = (li == LANE - 1) & (si == SUB - 1)
         return jnp.where(last, fill, nx)
 
-    nk1 = next_of(k1, k1)  # filled below via carry at next step; see note
+    nk1 = next_of(k1, k1)  # self-fill: the last row is handled below
     nk2 = next_of(k2, k2)
     # For the cross-tile boundary the "next" key is unknown in this
     # streaming pass; mark the tile's last row as a provisional end and
