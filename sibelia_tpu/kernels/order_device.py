@@ -61,6 +61,18 @@ for _i, _a in enumerate(_SYM):
         _SM[_a, _b] = _VAL[_i][_j]
 
 
+# device-coverage accounting (VERDICT r2: the silent host fallback must
+# be measurable): device_jobs = band DPs dispatched to the accelerator,
+# host_fallback = pairs the traceback-budget/band gate sent to the host
+# engine.  Read via get_stats(); the variant caller logs it under
+# SIBELIA_TPU_TRACE=1.
+STATS = {"device_jobs": 0, "host_fallback": 0}
+
+
+def get_stats() -> dict:
+    return dict(STATS)
+
+
 def _bucket(n: int, step: int) -> int:
     return max(step, -(-n // step) * step)
 
@@ -200,7 +212,9 @@ def _prepare_job(lib, seq1: bytes, seq2: bytes, anchors_text: str,
     if (maxw > max_band_width or nd < 2
             or wmax_p * ndp > _ROWS_BUDGET_BYTES):
         lib.le_order_release(h)
+        STATS["host_fallback"] += 1
         return None
+    STATS["device_jobs"] += 1
     starts = np.empty(nd, np.int32)
     ends = np.empty(nd, np.int32)
     isneck = np.empty(nd, np.int32)
