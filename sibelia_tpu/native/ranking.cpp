@@ -299,6 +299,15 @@ struct RankArena {
   HVec<int32_t> ql;       // answered match lengths (capped at k)
   HVec<int32_t> wh;       // word-granular next-mismatch horizon
   HVec<uint64_t> hk[3];   // block-mix signature lanes + one scratch
+  // 32-level result cache: consecutive stages often rank an UNCHANGED
+  // sequence (a stage that collapses nothing leaves the genome intact),
+  // and the 32-char base ranks are k-independent for every k >= 16.
+  // Keyed by a content checksum, so validity is self-verifying.
+  HVec<int64_t> c_rank, c_order;
+  HVec<uint8_t> c_gflag;
+  uint64_t c_sum = 0;
+  int64_t c_n = -1;
+  bool c_valid = false;
 };
 RankArena& rank_arena() {
   static RankArena a;
@@ -524,6 +533,34 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
   int64_t off = m - b;
   const int64_t pad = 40;
 
+  // content checksum (position-sensitive, commutative => parallel)
+  uint64_t csum = 0;
+  {
+    unsigned hw = std::thread::hardware_concurrency();
+    int T = (n >= (1 << 19) && hw > 1) ? (int)std::min<unsigned>(hw, 8) : 1;
+    std::vector<uint64_t> part((size_t)T, 0);
+    auto wk = [&](int t) {
+      int64_t lo = n * t / T, hi = n * (t + 1) / T;
+      uint64_t acc = 0;
+      for (int64_t i = lo; i < hi; ++i)
+        acc += mixA(((uint64_t)codes[i] << 40) | (uint64_t)i, 0);
+      part[(size_t)t] = acc;
+    };
+    if (T == 1) {
+      wk(0);
+    } else {
+      std::vector<std::thread> th;
+      for (int t = 0; t < T; ++t) th.emplace_back(wk, t);
+      for (auto& x : th) x.join();
+    }
+    for (int t = 0; t < T; ++t) csum += part[(size_t)t];
+  }
+  bool cache_hit = (k > 32 && b == 16 && blockmix_enabled() && ar.c_valid
+                    && ar.c_n == n && ar.c_sum == csum
+                    && n < kReleaseThreshold);
+  bool cache_store = (k > 32 && b == 16 && blockmix_enabled()
+                      && !cache_hit && n < kReleaseThreshold);
+
   // next separator at or after i (padding positions count as separators,
   // as in the numpy twin's zero padding)
   if ((int64_t)ar.next_sep.size() < n + pad) ar.next_sep.resize(n + pad);
@@ -568,6 +605,22 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
   }
   ar.shifted.release();
 
+  if ((int64_t)ar.order.size() < n) ar.order.resize(n);
+  if ((int64_t)ar.rank.size() < n) ar.rank.resize(n);
+  if ((int64_t)ar.gflag.size() < n) ar.gflag.resize(n);
+  int64_t* order = ar.order.data();
+  int64_t* rank = ar.rank.data();
+  uint8_t* gflag = ar.gflag.data();
+  if (cache_hit) {
+    Prof _p("rank32_cache_hit");
+    parallel_for(n, [&](int64_t lo, int64_t hi) {
+      std::memcpy(rank + lo, ar.c_rank.data() + lo,
+                  (size_t)(hi - lo) * sizeof(int64_t));
+      std::memcpy(order + lo, ar.c_order.data() + lo,
+                  (size_t)(hi - lo) * sizeof(int64_t));
+      std::memcpy(gflag + lo, ar.c_gflag.data() + lo, (size_t)(hi - lo));
+    });
+  } else {
   if ((int64_t)ar.big.size() < n) ar.big.resize(n);
   uint64_t* big = ar.big.data();
   const int64_t* nsep = ar.next_sep.data();
@@ -578,13 +631,6 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
                      : 0xFFFFFFFFFFFFFFFFULL;
     }
   });
-
-  if ((int64_t)ar.order.size() < n) ar.order.resize(n);
-  if ((int64_t)ar.rank.size() < n) ar.rank.resize(n);
-  if ((int64_t)ar.gflag.size() < n) ar.gflag.resize(n);
-  int64_t* order = ar.order.data();
-  int64_t* rank = ar.rank.data();
-  uint8_t* gflag = ar.gflag.data();
   {
     Prof _p("radix_sort_initial");
     // big is overwritten with the sorted keys: the rank/flag passes then
@@ -639,6 +685,25 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
     };
     run_all(phase2);
   }
+
+  if (cache_store) {
+    // snapshot the pristine 32-level result before any k>32 refinement
+    // rewrites rank/order/gflag in place
+    if ((int64_t)ar.c_rank.size() < n) ar.c_rank.resize((size_t)n);
+    if ((int64_t)ar.c_order.size() < n) ar.c_order.resize((size_t)n);
+    if ((int64_t)ar.c_gflag.size() < n) ar.c_gflag.resize((size_t)n);
+    parallel_for(n, [&](int64_t lo, int64_t hi) {
+      std::memcpy(ar.c_rank.data() + lo, rank + lo,
+                  (size_t)(hi - lo) * sizeof(int64_t));
+      std::memcpy(ar.c_order.data() + lo, order + lo,
+                  (size_t)(hi - lo) * sizeof(int64_t));
+      std::memcpy(ar.c_gflag.data() + lo, gflag + lo, (size_t)(hi - lo));
+    });
+    ar.c_sum = csum;
+    ar.c_n = n;
+    ar.c_valid = true;
+  }
+  }  // cache-hit else
 
   if (n >= kReleaseThreshold) {
     // sorted keys and radix scratch are dead from here on
