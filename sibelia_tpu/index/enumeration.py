@@ -54,6 +54,13 @@ _RC = bytes.maketrans(b"ACGT", b"TGCA")
 _ENC_LUT = np.zeros(256, dtype=np.uint8)
 for _ch, _code in CODE_OF.items():
     _ENC_LUT[ord(_ch)] = _code
+    # lowercase maps like uppercase so both strand encodings derive from
+    # the same LUT composition: the RC strand complements lowercase acgt
+    # to uppercase bases via _COMP_LUT, and without these entries the
+    # forward strand would treat 'a' as a separator while the RC strand
+    # sees a real T code — a latent strand-symmetry break (production
+    # callers always pass sanitized uppercase, so this is hardening)
+    _ENC_LUT[ord(_ch.lower())] = _code
 _COMP_LUT = np.arange(256, dtype=np.uint8)
 for _a, _b in zip(b"ATGCatgc", b"TACGtacg"):
     _COMP_LUT[_a] = _b
@@ -169,6 +176,13 @@ def _enum_device_impl(codes, k: int):
     start = jnp.concatenate([
         jnp.ones((1,), jnp.bool_),
         (sk1[1:] != sk1[:-1]) | (sk2[1:] != sk2[:-1])])
+    # Force a segment boundary at the first invalid row: at k == 32 the
+    # 3-key path's (sk1, sk2) are 0xFFFFFFFF for BOTH a genuine all-T
+    # window and the invalid-window sentinel, so without this the all-T
+    # group would merge with the sentinel cluster and its verdict would
+    # be computed at an invalid row (at k <= 31 the spare key bit keeps
+    # them distinct and this is a no-op).
+    start = start | (iota == nv)
 
     prev_aux = jnp.concatenate([saux[:1], saux[:-1]])
     A = ((~start) & (prev_aux != saux)).astype(jnp.int32)
@@ -377,6 +391,17 @@ def enumerate_bifurcations(chromosomes: list[bytes | np.ndarray], k: int,
     # (identical outputs; see native/ranking.cpp)
     from ..core.platform import device_dispatch
     _use_dev = device_dispatch()
+    if _use_dev and n >= (1 << 30):
+        # the fused device scans keep (ordinal << 1) and the reverse
+        # cummax keys in int32; beyond 2^30 rows they would overflow
+        # silently, so fail over to the host enumeration loudly
+        # (mirrors the sharded path's 2^31 gate above)
+        import warnings
+        warnings.warn(
+            "supergenome exceeds the single-device enumeration's int32 "
+            "scan space; falling back to the host enumeration",
+            RuntimeWarning)
+        _use_dev = False
     if not _use_dev and n >= (1 << 16):
         from ..native import enumerate_native
         res = enumerate_native(codes, block_starts, n_chr, k)

@@ -115,9 +115,13 @@ def _tile_cummax(x):
 _NEG_INF = -2147483648  # int32 min (python int: not a traced constant)
 
 
-def _fwd_kernel(sk1_ref, sk2_ref, aux_ref, packed_ref, carry_ref):
+def _fwd_kernel(sk1_ref, sk2_ref, aux_ref, nv_ref, packed_ref, carry_ref):
     """carry: SMEM i32[6] = (prev_k1, prev_k2, prev_aux, ord, segA_packed,
     segB_packed); sk/aux refs are (SUB, LANE) u32 viewed as i32 bits.
+    nv_ref: SMEM i32[1] = the valid-row count — a segment boundary is
+    forced at row nv (and an end at nv-1) because at k == 32 the sort
+    keys cannot distinguish a genuine all-T window from the
+    invalid-window sentinel (see index/enumeration.py:_enum_device_impl).
     packed out: (ordinal << 2) | (counted_end << 1) | start."""
     t = pl.program_id(0)
 
@@ -154,6 +158,8 @@ def _fwd_kernel(sk1_ref, sk2_ref, aux_ref, packed_ref, carry_ref):
     start = ((k1 != pk1) | (k2 != pk2)).astype(jnp.int32)
     force_first = first.astype(jnp.int32) * jnp.int32(t == 0)
     start = jnp.maximum(start, force_first)
+    row0 = t * TILE + si * LANE + li
+    start = jnp.maximum(start, (row0 == nv_ref[0]).astype(jnp.int32))
 
     a6 = aux & 63
     pa6 = paux & 63
@@ -185,6 +191,7 @@ def _fwd_kernel(sk1_ref, sk2_ref, aux_ref, packed_ref, carry_ref):
     # are monotone ORs, so the max is exactly the full-segment verdict.
     is_end = ((nk1 != k1) | (nk2 != k2)
               | ((li == LANE - 1) & (si == SUB - 1))).astype(jnp.int32)
+    is_end = jnp.maximum(is_end, (row0 == nv_ref[0] - 1).astype(jnp.int32))
 
     counted_end = is_end * (seg_b | (seg_a & (1 - start)))
     packed_ref[:] = (ordinal << 2) | (counted_end << 1) | start
@@ -288,7 +295,8 @@ def enum_segment_scan(sk1, sk2, saux, order, interpret, nv, n):
     a1 = jax.lax.bitcast_convert_type(sk1, jnp.int32).reshape(shape2)
     a2 = jax.lax.bitcast_convert_type(sk2, jnp.int32).reshape(shape2)
     aa = jax.lax.bitcast_convert_type(saux, jnp.int32).reshape(shape2)
-    packed = _grid_call(_fwd_kernel, n_tiles, [a1, a2, aa], [],
+    packed = _grid_call(_fwd_kernel, n_tiles, [a1, a2, aa],
+                        [nv.reshape(1).astype(jnp.int32)],
                         [("tile", shape2, jnp.int32)], [(6,)],
                         interpret=interpret)
     maxord = packed.reshape(-1)[total - 1] >> 2

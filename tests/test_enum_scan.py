@@ -16,6 +16,9 @@ def _xla_reference(sk1, sk2, saux, order, nv, n):
     start = jnp.concatenate([
         jnp.ones((1,), jnp.bool_),
         (sk1[1:] != sk1[:-1]) | (sk2[1:] != sk2[:-1])])
+    # segment boundary forced at the first invalid row (k == 32 all-T vs
+    # sentinel disambiguation; mirrors _enum_device_impl)
+    start = start | (iota == nv)
     prev_aux = jnp.concatenate([saux[:1], saux[:-1]])
     A = ((~start) & (prev_aux != saux)).astype(jnp.int32)
     B = (((saux >> 3) == 0) | ((saux & 7) == 0)).astype(jnp.int32)

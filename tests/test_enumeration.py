@@ -424,3 +424,43 @@ print(h.hexdigest())
         assert rr.returncode == 0, rr.stderr[-1500:]
         outs.append(rr.stdout.strip())
     assert outs[0] == outs[1], outs
+
+
+def test_device_k32_homopolymer_matches_host(monkeypatch):
+    """ADVICE r3 (high): at k == 32 a genuine all-T (or, via rc, all-A)
+    window has the same sort keys as the invalid-window sentinel; the
+    device path must force a segment boundary at the valid-row count so
+    the all-T group's verdict is not computed at an invalid row.  Both
+    the XLA and Pallas (interpret) formulations are checked."""
+    import numpy as np
+    from sibelia_tpu.index import enumeration as E
+
+    rng = np.random.default_rng(7)
+    ctx = rng.choice(list(b"ACGT"), size=600).astype(np.uint8)
+    # Two length-32 poly-T runs with IDENTICAL immediate flanks (G..C):
+    # the T32 group then has uniform prev/next sets, is genuinely NOT a
+    # bifurcation, and the buggy merged-sentinel verdict (invalid rows
+    # carry separator-looking aux) would count it anyway.  A G..C-flanked
+    # A32 run exercises the same case via the rc strand, and a 40-T run
+    # covers the interior-window (genuinely-bifurcating) case.
+    t32 = np.frombuffer(b"G" + b"T" * 32 + b"C", dtype=np.uint8)
+    # every T32 window in the genome must share the G..C context (the
+    # rc of t32 contributes A32 windows, a different group), so no other
+    # poly-T/A run may appear anywhere
+    ctx = ctx[~np.isin(ctx, np.frombuffer(b"TA", np.uint8))][:300]
+    a = np.concatenate([ctx[:100], t32, ctx[100:200]])
+    b = np.concatenate([ctx[50:150], t32, ctx[200:300]])
+    chroms = [bytes(a), bytes(b)]
+    for k in (30, 31, 32):
+        host = E.enumerate_bifurcations(chroms, k)
+        for scan_env in ("0", "1"):  # XLA scans / Pallas interpret scans
+            monkeypatch.setenv("SIBELIA_TPU_FORCE_DEVICE_ENUM", "1")
+            monkeypatch.setenv("SIBELIA_TPU_PALLAS_SCAN", scan_env)
+            dev = E.enumerate_bifurcations(chroms, k)
+            monkeypatch.delenv("SIBELIA_TPU_FORCE_DEVICE_ENUM")
+            monkeypatch.delenv("SIBELIA_TPU_PALLAS_SCAN")
+            assert dev.count == host.count, (k, scan_env)
+            for s in (0, 1):
+                assert np.array_equal(dev.chr[s], host.chr[s]), (k, scan_env)
+                assert np.array_equal(dev.pos[s], host.pos[s]), (k, scan_env)
+                assert np.array_equal(dev.bif_id[s], host.bif_id[s]), (k, scan_env)
