@@ -53,6 +53,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
 def run(argv: list[str]) -> int:
     args = build_arg_parser().parse_args(argv)
     prof_ctx = None
+    _spill_dir_created = None
     try:
         if args.stagefile is not None:
             stage = read_stage_file(args.stagefile)
@@ -74,6 +75,34 @@ def run(argv: list[str]) -> int:
         total = sum(len(r.sequence) for r in chr_list)
         if total > MAX_INPUT_SIZE:
             raise RuntimeError("Input is larger than 1 GB, can't proceed")
+
+        # External-memory mode (reference parity: the reference streams
+        # its suffix array through TempFile in `-t tempdir` by default,
+        # with `-r` opting into RAM, vertexenumeration.cpp:99-157).
+        # Here the in-RAM path is the fast default; the native arenas
+        # spill to unlinked temp files under `-t` when the estimated
+        # in-RAM peak would not fit the host (or SIBELIA_TPU_EXTMEM=1
+        # forces it), keeping peak RSS bounded.  `-r` forces in-RAM.
+        if (not args.inram and "SIBELIA_TPU_SPILL_DIR" not in os.environ
+                and os.environ.get("SIBELIA_TPU_EXTMEM") != "0"):
+            est = total * 120  # measured in-RAM peak ~120 B/input byte
+            avail = None
+            try:
+                with open("/proc/meminfo") as f:
+                    for line in f:
+                        if line.startswith("MemAvailable"):
+                            avail = int(line.split()[1]) * 1024
+                            break
+            except OSError:
+                pass
+            force = os.environ.get("SIBELIA_TPU_EXTMEM") == "1"
+            if force or (avail is not None and est > avail * 3 // 4):
+                import tempfile as _tempfile
+                _spill_dir_created = _tempfile.mkdtemp(
+                    prefix="sibelia_spill_", dir=args.tempdir)
+                os.environ["SIBELIA_TPU_SPILL_DIR"] = _spill_dir_created
+                print("Using external-memory mode (temp dir: %s)"
+                      % _spill_dir_created, file=sys.stderr)
 
         history: list[list] = [[] for _ in range(len(stage) + 1)]
         finder = BlockFinder(chr_list)
@@ -198,6 +227,12 @@ def run(argv: list[str]) -> int:
     finally:
         if prof_ctx is not None:
             prof_ctx.__exit__(None, None, None)
+        # spill files are unlinked at creation; only the dir remains
+        if _spill_dir_created:
+            try:
+                os.rmdir(_spill_dir_created)
+            except OSError:
+                pass
 
 
 def main() -> None:

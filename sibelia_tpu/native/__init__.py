@@ -124,14 +124,24 @@ def simplify_native(seq, enum, k: int, min_branch: int,
             handle, enum.count,
             len(c0), c0.ctypes.data, p0.ctypes.data, b0.ctypes.data,
             len(c1), c1.ctypes.data, p1.ctypes.data, b1.ctypes.data)
+        cand = None
+        if candidates is not None:
+            cand = np.ascontiguousarray(candidates, dtype=np.uint8)
+            if cand.size != enum.count:
+                raise ValueError("candidate bitmap size != vertex count")
+        # the engine holds its own copies from here on; release the
+        # Python-side sequence buffers so big inputs are not held twice
+        # (seq.chars/origpos are replaced from engine_get_chr below)
+        del packed, c0, p0, b0, c1, p1, b1
+        for c in range(n_chr):
+            seq.chars[c] = None
+            seq.origpos[c] = None
+        del char_bufs, op_bufs
         if os.environ.get("SIBELIA_TPU_DENSE_SIMPLIFY") == "1":
             ret = lib.engine_simplify(handle, k, min_branch, max_iterations)
         else:
             cand_ptr = None
-            if candidates is not None:
-                cand = np.ascontiguousarray(candidates, dtype=np.uint8)
-                if cand.size != enum.count:
-                    raise ValueError("candidate bitmap size != vertex count")
+            if cand is not None:
                 cand_ptr = cand.ctypes.data
             ret = lib.engine_simplify_sparse(
                 handle, k, min_branch, max_iterations, cand_ptr,

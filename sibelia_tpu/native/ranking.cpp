@@ -20,9 +20,59 @@
 #include <algorithm>
 #include <chrono>
 #include <unordered_map>
+#include <functional>
 #include <sys/mman.h>
+#include <sys/types.h>
+#include <fcntl.h>
+#include <unistd.h>
 
 namespace {
+
+// ---------------------------------------------------------------------------
+// External-memory (bounded-RSS) mode.
+//
+// When SIBELIA_TPU_SPILL_DIR is set, arenas above a size threshold are
+// backed by unlinked temp files (MAP_SHARED) instead of anonymous
+// memory, and the streaming phases drop processed windows from the
+// mapping with MADV_DONTNEED.  File-backed pages are page-cache pages:
+// dropping them bounds the process RSS without losing data (dirty pages
+// stay in the cache and are written back by the kernel; re-access is a
+// minor fault while cached, a disk read once evicted).  On a large-RAM
+// host this costs almost nothing; on a small host it degrades to
+// disk-streamed passes — the TPU-era equivalent of the reference's
+// TempFile-streamed external suffix array
+// (reference: src/vertexenumeration.cpp:99-157, src/platform.cpp:44-128).
+// Temp files are unlinked at creation, so any exit reclaims the disk.
+// ---------------------------------------------------------------------------
+
+const char* spill_dir() {
+  static const char* d = [] {
+    const char* v = std::getenv("SIBELIA_TPU_SPILL_DIR");
+    if (!v || !v[0]) return (const char*)nullptr;
+    char* copy = (char*)std::malloc(std::strlen(v) + 1);
+    std::strcpy(copy, v);
+    return (const char*)copy;
+  }();
+  return d;
+}
+
+bool spill_on() { return spill_dir() != nullptr; }
+
+// arenas below this stay anonymous even in spill mode (mini-index
+// calls); SIBELIA_TPU_SPILL_MIN overrides (bytes; tests force 0)
+size_t spill_min() {
+  static size_t v = [] {
+    const char* e = std::getenv("SIBELIA_TPU_SPILL_MIN");
+    if (e && e[0]) return (size_t)std::strtoull(e, nullptr, 10);
+    return (size_t)64 << 20;
+  }();
+  return v;
+}
+// streaming phases drop processed windows at this element granularity
+const int64_t kSpillWindow = (int64_t)1 << 25;  // 32M elements
+// random-scatter phases drop their whole destination every this many
+// processed elements per thread (bounds dirty-page accumulation)
+const int64_t kSpillQuantum = (int64_t)1 << 24;  // 16M elements
 
 // Whether to request transparent huge pages on arena mappings.  Huge
 // pages cut first-touch faults ~500x, but when the kernel's THP defrag
@@ -61,6 +111,7 @@ struct HVec {
   T* ptr = nullptr;
   size_t cap = 0;     // elements
   size_t bytes = 0;   // mapped bytes
+  bool spilled = false;  // file-backed (MAP_SHARED on an unlinked file)
   size_t size() const { return cap; }
   T* data() { return ptr; }
   const T* data() const { return ptr; }
@@ -72,12 +123,56 @@ struct HVec {
     ptr = nullptr;
     cap = 0;
     bytes = 0;
+    spilled = false;
+  }
+  // Drop resident pages from the mapping.  Safe at ANY time on spilled
+  // arenas (data persists in the page cache / file; re-access refaults),
+  // a strict no-op otherwise — callers sprinkle these freely.
+  void drop() {
+    if (spilled && ptr) madvise(ptr, bytes, MADV_DONTNEED);
+  }
+  void drop_range(size_t lo_elem, size_t hi_elem) {
+    if (!spilled || !ptr || hi_elem <= lo_elem) return;
+    size_t lo = (lo_elem * sizeof(T) + 4095) & ~(size_t)4095;
+    size_t hi = (hi_elem * sizeof(T)) & ~(size_t)4095;
+    if (hi > bytes) hi = bytes;
+    if (hi > lo) madvise((char*)ptr + lo, hi - lo, MADV_DONTNEED);
   }
   void resize(size_t n) {
     if (n <= cap) return;
     size_t want = n + n / 8;  // slack so stagewise growth remaps rarely
     size_t nb = (want * sizeof(T) + ((size_t)2 << 20) - 1) &
                 ~(((size_t)2 << 20) - 1);
+    const char* sd = spill_dir();
+    if (sd && nb >= spill_min()) {
+      int fd = open(sd, O_TMPFILE | O_RDWR, 0600);
+      if (fd < 0) {
+        char tmpl[4096];
+        std::snprintf(tmpl, sizeof(tmpl), "%s/sibelia_spill_XXXXXX", sd);
+        fd = mkstemp(tmpl);
+        if (fd >= 0) unlink(tmpl);
+      }
+      if (fd >= 0) {
+        if (ftruncate(fd, (off_t)nb) == 0) {
+          void* p = mmap(nullptr, nb, PROT_READ | PROT_WRITE, MAP_SHARED,
+                         fd, 0);
+          close(fd);
+          if (p != MAP_FAILED) {
+            release();
+            ptr = (T*)p;
+            cap = nb / sizeof(T);
+            bytes = nb;
+            spilled = true;
+            return;
+          }
+        } else {
+          close(fd);
+        }
+      }
+      std::fprintf(stderr,
+                   "sibelia_tpu: spill-file creation failed in %s; "
+                   "using anonymous memory\n", sd);
+    }
     void* p = mmap(nullptr, nb, PROT_READ | PROT_WRITE,
                    MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
     if (p == MAP_FAILED) {
@@ -92,6 +187,7 @@ struct HVec {
       ptr = (T*)p;
       cap = nb / sizeof(T);
       bytes = 0;  // malloc-backed
+      spilled = false;
       return;
     }
     if (hugepage_ok()) madvise(p, nb, MADV_HUGEPAGE);
@@ -101,6 +197,7 @@ struct HVec {
     ptr = (T*)p;
     cap = nb / sizeof(T);
     bytes = nb;
+    spilled = false;
   }
 };
 
@@ -153,7 +250,7 @@ void parallel_for(int64_t n, F f) {
 // per-(thread, digit) cursors, which preserves stability.
 struct SortArena {
   HVec<uint64_t> k[2];
-  HVec<int32_t> i[2];
+  HVec<uint32_t> i[2];  // u32 indices cover the 1 GB-cap supergenome
   HVec<int64_t> i64[2];
   std::vector<std::vector<int64_t>> cnt;
 };
@@ -178,11 +275,13 @@ void sort_arena_release() {
 const int64_t kReleaseThreshold = (int64_t)1 << 27;  // 134M
 
 
-template <typename IdxT>
-void radix_argsort_impl(const uint64_t* keys, int64_t* idx, int64_t n,
+template <typename IdxT, typename OutT>
+void radix_argsort_impl(const uint64_t* keys, OutT* idx, int64_t n,
                         HVec<uint64_t>* kbuf, HVec<IdxT>* ibuf,
                         std::vector<std::vector<int64_t>>& cntbuf,
-                        uint64_t* sorted_out = nullptr) {
+                        uint64_t* sorted_out = nullptr,
+                        std::function<void(int64_t, int64_t)> drop_out =
+                            nullptr) {
   int T = 1;
   if (n >= (1 << 19)) {
     unsigned hw = std::thread::hardware_concurrency();
@@ -196,11 +295,19 @@ void radix_argsort_impl(const uint64_t* keys, int64_t* idx, int64_t n,
   for (int t = 0; t < T; ++t)
     if (cntbuf[(size_t)t].size() < (1 << 16))
       cntbuf[(size_t)t].resize((size_t)(1 << 16));
+  const bool sp = kbuf[0].spilled;
   int cur = 0;
   parallel_for(n, [&](int64_t lo, int64_t hi) {
-    for (int64_t i = lo; i < hi; ++i) {
-      kbuf[0][(size_t)i] = keys[i];
-      ibuf[0][(size_t)i] = (IdxT)i;
+    for (int64_t w = lo; w < hi; w += kSpillWindow) {
+      int64_t we = std::min(hi, w + kSpillWindow);
+      for (int64_t i = w; i < we; ++i) {
+        kbuf[0][(size_t)i] = keys[i];
+        ibuf[0][(size_t)i] = (IdxT)i;
+      }
+      if (sp) {
+        kbuf[0].drop_range((size_t)w, (size_t)we);
+        ibuf[0].drop_range((size_t)w, (size_t)we);
+      }
     }
   });
   for (int pass = 0; pass < 4; ++pass) {
@@ -241,10 +348,25 @@ void radix_argsort_impl(const uint64_t* keys, int64_t* idx, int64_t n,
     auto scatter_slice = [&](int t) {
       auto& c = cntbuf[(size_t)t];
       int64_t lo = n * t / T, hi = n * (t + 1) / T;
-      for (int64_t i = lo; i < hi; ++i) {
-        int64_t slot = c[(kc[i] >> shift) & 0xFFFF]++;
-        kn[slot] = kc[i];
-        in[slot] = ic[i];
+      int64_t chunk = sp ? kSpillQuantum : (hi - lo > 0 ? hi - lo : 1);
+      for (int64_t cs = lo; cs < hi; cs += chunk) {
+        int64_t ce = std::min(hi, cs + chunk);
+        for (int64_t i = cs; i < ce; ++i) {
+          int64_t slot = c[(kc[i] >> shift) & 0xFFFF]++;
+          kn[slot] = kc[i];
+          in[slot] = ic[i];
+        }
+        if (sp) {
+          // source range is dead after this pass; destination pages are
+          // dropped periodically from thread 0 (they re-dirty near the
+          // 65536 bucket cursors, bounding accumulation)
+          kbuf[cur].drop_range((size_t)cs, (size_t)ce);
+          ibuf[cur].drop_range((size_t)cs, (size_t)ce);
+          if (t == 0 && ce < hi) {
+            kbuf[cur ^ 1].drop();
+            ibuf[cur ^ 1].drop();
+          }
+        }
       }
     };
     if (T == 1) {
@@ -259,42 +381,58 @@ void radix_argsort_impl(const uint64_t* keys, int64_t* idx, int64_t n,
   const IdxT* ic = ibuf[cur].data();
   const uint64_t* kc = kbuf[cur].data();
   parallel_for(n, [&](int64_t lo, int64_t hi) {
-    for (int64_t i = lo; i < hi; ++i) idx[i] = (int64_t)ic[i];
-    if (sorted_out)
-      for (int64_t i = lo; i < hi; ++i) sorted_out[i] = kc[i];
+    for (int64_t w = lo; w < hi; w += kSpillWindow) {
+      int64_t we = std::min(hi, w + kSpillWindow);
+      for (int64_t i = w; i < we; ++i) idx[i] = (OutT)ic[i];
+      if (sorted_out)
+        for (int64_t i = w; i < we; ++i) sorted_out[i] = kc[i];
+      if (sp) {
+        kbuf[cur].drop_range((size_t)w, (size_t)we);
+        ibuf[cur].drop_range((size_t)w, (size_t)we);
+        if (drop_out) drop_out(w, we);
+      }
+    }
   });
 }
 
 void radix_argsort_u64(const uint64_t* keys, int64_t* idx, int64_t n) {
   SortArena& ar = sort_arena();
-  if (n <= (int64_t)INT32_MAX) {
-    radix_argsort_impl<int32_t>(keys, idx, n, ar.k, ar.i, ar.cnt);
+  if (n <= (int64_t)UINT32_MAX) {
+    radix_argsort_impl<uint32_t, int64_t>(keys, idx, n, ar.k, ar.i, ar.cnt);
   } else {
-    radix_argsort_impl<int64_t>(keys, idx, n, ar.k, ar.i64, ar.cnt);
+    radix_argsort_impl<int64_t, int64_t>(keys, idx, n, ar.k, ar.i64,
+                                         ar.cnt);
   }
 }
 
 // Variant that additionally overwrites `keys` with the sorted keys, so
 // callers can walk group boundaries sequentially instead of gathering
-// keys[order[i]] through a random-access stream.
-void radix_argsort_u64_sk(uint64_t* keys, int64_t* idx, int64_t n) {
+// keys[order[i]] through a random-access stream.  The u32-index variant
+// serves every supergenome under the 1 GB input cap (n < 2^32): 32-bit
+// cursors and outputs halve the scatter traffic of the sort.
+void radix_argsort_u64_sk(uint64_t* keys, uint32_t* idx, int64_t n,
+                          std::function<void(int64_t, int64_t)> drop_out =
+                              nullptr) {
   SortArena& ar = sort_arena();
-  if (n <= (int64_t)INT32_MAX) {
-    radix_argsort_impl<int32_t>(keys, idx, n, ar.k, ar.i, ar.cnt, keys);
-  } else {
-    radix_argsort_impl<int64_t>(keys, idx, n, ar.k, ar.i64, ar.cnt, keys);
-  }
+  radix_argsort_impl<uint32_t, uint32_t>(keys, idx, n, ar.k, ar.i, ar.cnt,
+                                         keys, drop_out);
 }
 
 // Persistent buffers for compute_ranks (reused across calls; enumeration
 // runs dozens of times per pipeline and per-call allocation/page-fault
 // churn dominated the steady-state sort cost before this).
 struct RankArena {
-  HVec<int64_t> next_sep, r, active, sub, nact, rank, order;
+  // rank/order/next_sep are u32: the 1 GB input cap bounds the
+  // supergenome below 2^32 positions, and these three are the largest
+  // persistent per-position arrays (halves their footprint + traffic).
+  // The legacy doubling path's working arrays (r/active/sub/nact) stay
+  // int64 (negative sentinels / non-default backend).
+  HVec<uint32_t> next_sep, rank, order;
+  HVec<int64_t> r, active, sub, nact;
   HVec<uint32_t> p, shifted;   // packed 16-char words (32-bit)
   HVec<uint64_t> big, key;
   HVec<uint8_t> grp, ngrp, gflag;
-  HVec<int32_t> cursor;
+  HVec<uint32_t> cursor;
   HVec<int64_t> qa, qb;   // LCP refinement: query base/member positions
   HVec<int32_t> ql;       // answered match lengths (capped at k)
   HVec<int32_t> wh;       // word-granular next-mismatch horizon
@@ -302,8 +440,11 @@ struct RankArena {
   // 32-level result cache: consecutive stages often rank an UNCHANGED
   // sequence (a stage that collapses nothing leaves the genome intact),
   // and the 32-char base ranks are k-independent for every k >= 16.
-  // Keyed by a content checksum, so validity is self-verifying.
-  HVec<int64_t> c_rank, c_order;
+  // Keyed by a content checksum, so validity is self-verifying; on every
+  // hit a random sample of the stored order is re-verified against the
+  // packed words (see cache_spot_verify) so a checksum collision cannot
+  // silently corrupt ranks.
+  HVec<uint32_t> c_rank, c_order;
   HVec<uint8_t> c_gflag;
   uint64_t c_sum = 0;
   int64_t c_n = -1;
@@ -312,6 +453,31 @@ struct RankArena {
 RankArena& rank_arena() {
   static RankArena a;
   return a;
+}
+
+// Drop every spilled arena's residency (end-of-call; keeps inter-stage
+// RSS at the page-cache level instead of the arena level).
+void rank_arena_drop_all() {
+  if (!spill_on()) return;
+  RankArena& a = rank_arena();
+  a.next_sep.drop();
+  a.rank.drop();
+  a.order.drop();
+  a.p.drop();
+  a.shifted.drop();
+  a.big.drop();
+  a.gflag.drop();
+  for (int s = 0; s < 3; ++s) a.hk[s].drop();
+  a.c_rank.drop();
+  a.c_order.drop();
+  a.c_gflag.drop();
+  a.cursor.drop();
+  SortArena& sa = sort_arena();
+  for (int s = 0; s < 2; ++s) {
+    sa.k[s].drop();
+    sa.i[s].drop();
+    sa.i64[s].drop();
+  }
 }
 std::mutex& rank_mutex() {
   static std::mutex m;
@@ -439,7 +605,7 @@ static inline int64_t lcp_direct(const uint32_t* pp, int64_t p, int64_t q,
 struct LcpRefineCtx {
   const uint8_t* codes;
   const uint32_t* pp;
-  const int64_t* next_sep;
+  const uint32_t* next_sep;
   int64_t n, k, pad;
   int64_t char_at(int64_t i) const { return i < n ? (int64_t)codes[i] : 0; }
   // window validity as the enumeration defines it: crosses no separator
@@ -455,10 +621,10 @@ struct LcpRefineCtx {
 // get rank = group_rank_base + (index of class start in final order).
 struct GroupResolver {
   const LcpRefineCtx& ctx;
-  int64_t* rank;
+  uint32_t* rank;
   std::unordered_map<int64_t, size_t> bucket_of;  // (L*8+ch) -> bucket idx
 
-  explicit GroupResolver(const LcpRefineCtx& c, int64_t* r)
+  explicit GroupResolver(const LcpRefineCtx& c, uint32_t* r)
       : ctx(c), rank(r) {}
 
   // members: positions ascending; lv[j] = match length vs members[0]
@@ -508,7 +674,7 @@ struct GroupResolver {
     for (auto& b : buckets) {
       if (b.mem.size() == 1 || b.L >= ctx.k) {
         // singleton, or the m0 class (all full-k equal): one class
-        for (int64_t m : b.mem) rank[m] = base_rank + off;
+        for (int64_t m : b.mem) rank[m] = (uint32_t)(base_rank + off);
         off += (int64_t)b.mem.size();
       } else {
         // same divergence char: equal over [0, b.L + 1); recurse with
@@ -532,6 +698,15 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
   while (b * 2 <= m && b < 16) b *= 2;
   int64_t off = m - b;
   const int64_t pad = 40;
+  if (n + pad >= (int64_t)UINT32_MAX) {
+    // u32 positions cover every input under the reference's 1 GB cap
+    // (supergenome < 2^32); the Python layer enforces the cap before
+    // reaching here (cli/sibelia.py input guard)
+    std::fprintf(stderr,
+                 "sibelia_tpu: supergenome exceeds the u32 position space "
+                 "(input beyond the 1 GB cap)\n");
+    std::abort();
+  }
 
   // content checksum (position-sensitive, commutative => parallel)
   uint64_t csum = 0;
@@ -566,10 +741,14 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
   if ((int64_t)ar.next_sep.size() < n + pad) ar.next_sep.resize(n + pad);
   {
     int64_t ns = n + pad;
-    for (int64_t i = n + pad - 1; i >= 0; --i) {
-      uint8_t c = (i < n) ? codes[i] : 0;
-      if (c == 0) ns = std::min(ns, i);
-      ar.next_sep[(size_t)i] = ns;
+    for (int64_t w = n + pad; w > 0; w -= kSpillWindow) {
+      int64_t wl = std::max<int64_t>(0, w - kSpillWindow);
+      for (int64_t i = w - 1; i >= wl; --i) {
+        uint8_t c = (i < n) ? codes[i] : 0;
+        if (c == 0) ns = std::min(ns, i);
+        ar.next_sep[(size_t)i] = (uint32_t)ns;
+      }
+      ar.next_sep.drop_range((size_t)wl, (size_t)w);
     }
   }
 
@@ -579,18 +758,30 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
   uint32_t* sh = ar.shifted.data();
   {
     Prof _p_pack("pack");
+    auto hv_of = [&](uint32_t* q) {
+      return q == ar.p.data() ? &ar.p : &ar.shifted;
+    };
     parallel_for(n + pad, [&](int64_t lo, int64_t hi) {
-      for (int64_t i = lo; i < hi; ++i) {
-        uint32_t c = (i < n) ? codes[i] : 0;
-        pp[i] = (c - 1) & 3;
+      for (int64_t w = lo; w < hi; w += kSpillWindow) {
+        int64_t we = std::min(hi, w + kSpillWindow);
+        for (int64_t i = w; i < we; ++i) {
+          uint32_t c = (i < n) ? codes[i] : 0;
+          pp[i] = (c - 1) & 3;
+        }
+        hv_of(pp)->drop_range((size_t)w, (size_t)we);
       }
     });
     int64_t width = 1;
     while (width < b) {
       parallel_for(n + pad, [&](int64_t lo, int64_t hi) {
-        for (int64_t i = lo; i < hi; ++i) {
-          uint32_t x = (i + width < n + pad) ? pp[i + width] : 0;
-          sh[i] = (pp[i] << (2 * width)) | x;
+        for (int64_t w = lo; w < hi; w += kSpillWindow) {
+          int64_t we = std::min(hi, w + kSpillWindow);
+          for (int64_t i = w; i < we; ++i) {
+            uint32_t x = (i + width < n + pad) ? pp[i + width] : 0;
+            sh[i] = (pp[i] << (2 * width)) | x;
+          }
+          hv_of(pp)->drop_range((size_t)w, (size_t)we);
+          hv_of(sh)->drop_range((size_t)w, (size_t)we);
         }
       });
       std::swap(pp, sh);
@@ -600,7 +791,14 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
   // keep the final packed words in ar.p and drop the ping-pong partner:
   // every later consumer reads through `pp`
   if (pp != ar.p.data()) {
-    std::memcpy(ar.p.data(), pp, (size_t)(n + pad) * sizeof(uint32_t));
+    parallel_for(n + pad, [&](int64_t lo, int64_t hi) {
+      for (int64_t w = lo; w < hi; w += kSpillWindow) {
+        int64_t we = std::min(hi, w + kSpillWindow);
+        std::memcpy(ar.p.data() + w, pp + w,
+                    (size_t)(we - w) * sizeof(uint32_t));
+        ar.p.drop_range((size_t)w, (size_t)we);
+      }
+    });
     pp = ar.p.data();
   }
   ar.shifted.release();
@@ -608,34 +806,74 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
   if ((int64_t)ar.order.size() < n) ar.order.resize(n);
   if ((int64_t)ar.rank.size() < n) ar.rank.resize(n);
   if ((int64_t)ar.gflag.size() < n) ar.gflag.resize(n);
-  int64_t* order = ar.order.data();
-  int64_t* rank = ar.rank.data();
+  uint32_t* order = ar.order.data();
+  uint32_t* rank = ar.rank.data();
   uint8_t* gflag = ar.gflag.data();
+  if (cache_hit) {
+    // spot-verify the stored order against the packed words before
+    // trusting the checksum: 64 random sorted slots must be key-ordered
+    // and gflag-consistent with their predecessor (a checksum collision
+    // would have to survive this to corrupt ranks)
+    const uint32_t* c_ord = ar.c_order.data();
+    const uint8_t* c_gf = ar.c_gflag.data();
+    const uint32_t* nsp = ar.next_sep.data();
+    auto key_at = [&](int64_t p) -> uint64_t {
+      bool valid = (p + m) <= (int64_t)nsp[p];
+      return valid ? (((uint64_t)pp[p] << 32) | pp[off + p])
+                   : 0xFFFFFFFFFFFFFFFFULL;
+    };
+    uint64_t s = ar.c_sum | 1;
+    for (int t = 0; t < 64 && cache_hit; ++t) {
+      s = s * 6364136223846793005ULL + 1442695040888963407ULL;
+      int64_t j = (int64_t)(s % (uint64_t)n);
+      if (j == 0) continue;
+      uint64_t ka = key_at((int64_t)c_ord[j - 1]);
+      uint64_t kb = key_at((int64_t)c_ord[j]);
+      if (ka > kb || (c_gf[j] != (ka != kb ? 1 : 0))) cache_hit = false;
+    }
+    if (!cache_hit) {
+      std::fprintf(stderr,
+                   "sibelia_tpu: rank cache checksum collision detected; "
+                   "recomputing\n");
+      ar.c_valid = false;
+      cache_store = (k > 32 && b == 16 && blockmix_enabled()
+                     && n < kReleaseThreshold);
+    }
+  }
   if (cache_hit) {
     Prof _p("rank32_cache_hit");
     parallel_for(n, [&](int64_t lo, int64_t hi) {
       std::memcpy(rank + lo, ar.c_rank.data() + lo,
-                  (size_t)(hi - lo) * sizeof(int64_t));
+                  (size_t)(hi - lo) * sizeof(uint32_t));
       std::memcpy(order + lo, ar.c_order.data() + lo,
-                  (size_t)(hi - lo) * sizeof(int64_t));
+                  (size_t)(hi - lo) * sizeof(uint32_t));
       std::memcpy(gflag + lo, ar.c_gflag.data() + lo, (size_t)(hi - lo));
     });
   } else {
   if ((int64_t)ar.big.size() < n) ar.big.resize(n);
   uint64_t* big = ar.big.data();
-  const int64_t* nsep = ar.next_sep.data();
+  const uint32_t* nsep = ar.next_sep.data();
   parallel_for(n, [&](int64_t lo, int64_t hi) {
-    for (int64_t i = lo; i < hi; ++i) {
-      bool valid = (i + m) <= nsep[i];
-      big[i] = valid ? (((uint64_t)pp[i] << 32) | pp[off + i])
-                     : 0xFFFFFFFFFFFFFFFFULL;
+    for (int64_t w = lo; w < hi; w += kSpillWindow) {
+      int64_t we = std::min(hi, w + kSpillWindow);
+      for (int64_t i = w; i < we; ++i) {
+        bool valid = (i + m) <= nsep[i];
+        big[i] = valid ? (((uint64_t)pp[i] << 32) | pp[off + i])
+                       : 0xFFFFFFFFFFFFFFFFULL;
+      }
+      ar.big.drop_range((size_t)w, (size_t)we);
+      ar.p.drop_range((size_t)w, (size_t)we);
+      ar.next_sep.drop_range((size_t)w, (size_t)we);
     }
   });
   {
     Prof _p("radix_sort_initial");
     // big is overwritten with the sorted keys: the rank/flag passes then
     // walk it sequentially instead of gathering big[order[i]]
-    radix_argsort_u64_sk(big, order, n);
+    radix_argsort_u64_sk(big, order, n, [&](int64_t lo, int64_t hi) {
+      ar.big.drop_range((size_t)lo, (size_t)hi);
+      ar.order.drop_range((size_t)lo, (size_t)hi);
+    });
   }
 
   {
@@ -650,10 +888,14 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
     auto phase1 = [&](int t) {
       int64_t lo = n * t / T, hi = n * (t + 1) / T;
       int64_t ls = -1;
-      for (int64_t i = lo; i < hi; ++i) {
-        bool ng = (i == 0) || (big[i] != big[i - 1]);
-        gflag[i] = ng;
-        if (ng) ls = i;
+      for (int64_t w = lo; w < hi; w += kSpillWindow) {
+        int64_t we = std::min(hi, w + kSpillWindow);
+        for (int64_t i = w; i < we; ++i) {
+          bool ng = (i == 0) || (big[i] != big[i - 1]);
+          gflag[i] = ng;
+          if (ng) ls = i;
+        }
+        ar.gflag.drop_range((size_t)w, (size_t)we);
       }
       last_start[(size_t)t] = ls;
     };
@@ -678,9 +920,19 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
     auto phase2 = [&](int t) {
       int64_t lo = n * t / T, hi = n * (t + 1) / T;
       int64_t start = carry[(size_t)t];
-      for (int64_t i = lo; i < hi; ++i) {
-        if (gflag[i]) start = i;
-        rank[order[i]] = start;
+      int64_t chunk = ar.rank.spilled ? kSpillQuantum : (hi - lo + 1);
+      for (int64_t cs = lo; cs < hi; cs += chunk) {
+        int64_t ce = std::min(hi, cs + chunk);
+        for (int64_t i = cs; i < ce; ++i) {
+          if (gflag[i]) start = i;
+          rank[order[i]] = (uint32_t)start;
+        }
+        // the rank writes are random; drop the whole destination
+        // periodically from thread 0 and the sequential inputs behind
+        ar.big.drop_range((size_t)cs, (size_t)ce);
+        ar.order.drop_range((size_t)cs, (size_t)ce);
+        ar.gflag.drop_range((size_t)cs, (size_t)ce);
+        if (t == 0 && ce < hi) ar.rank.drop();
       }
     };
     run_all(phase2);
@@ -694,9 +946,9 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
     if ((int64_t)ar.c_gflag.size() < n) ar.c_gflag.resize((size_t)n);
     parallel_for(n, [&](int64_t lo, int64_t hi) {
       std::memcpy(ar.c_rank.data() + lo, rank + lo,
-                  (size_t)(hi - lo) * sizeof(int64_t));
+                  (size_t)(hi - lo) * sizeof(uint32_t));
       std::memcpy(ar.c_order.data() + lo, order + lo,
-                  (size_t)(hi - lo) * sizeof(int64_t));
+                  (size_t)(hi - lo) * sizeof(uint32_t));
       std::memcpy(ar.c_gflag.data() + lo, gflag + lo, (size_t)(hi - lo));
     });
     ar.c_sum = csum;
@@ -724,20 +976,37 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
     uint64_t* sc = ar.hk[2].data();  // one scratch serves both lanes
     {
       Prof _p("blockmix_fold");
+      auto hk_of = [&](uint64_t* q) {
+        for (int s = 0; s < 3; ++s)
+          if (q == ar.hk[s].data()) return &ar.hk[s];
+        return (HVec<uint64_t>*)nullptr;
+      };
       parallel_for(ext, [&](int64_t lo, int64_t hi) {
-        for (int64_t i = lo; i < hi; ++i) {
-          uint64_t r = (i < n) ? (uint64_t)rank[i] : 0xFFFFFFFFFFFFFFFFULL;
-          ha[i] = mixA(r, 0);
-          hb[i] = mixB(r, 0);
+        for (int64_t w = lo; w < hi; w += kSpillWindow) {
+          int64_t we = std::min(hi, w + kSpillWindow);
+          for (int64_t i = w; i < we; ++i) {
+            uint64_t r = (i < n) ? (uint64_t)rank[i]
+                                 : 0xFFFFFFFFFFFFFFFFULL;
+            ha[i] = mixA(r, 0);
+            hb[i] = mixB(r, 0);
+          }
+          hk_of(ha)->drop_range((size_t)w, (size_t)we);
+          hk_of(hb)->drop_range((size_t)w, (size_t)we);
+          ar.rank.drop_range((size_t)w, (size_t)we);
         }
       });
       auto fold_lane = [&](uint64_t*& lane, int64_t off3, int64_t lim,
                            bool lane_a) {
         parallel_for(lim, [&](int64_t lo, int64_t hi) {
-          for (int64_t i = lo; i < hi; ++i) {
-            int64_t j = i + off3 < ext ? i + off3 : ext - 1;
-            sc[i] = lane_a ? mixA(lane[i], lane[j])
-                           : mixB(lane[i], lane[j]);
+          for (int64_t w = lo; w < hi; w += kSpillWindow) {
+            int64_t we = std::min(hi, w + kSpillWindow);
+            for (int64_t i = w; i < we; ++i) {
+              int64_t j = i + off3 < ext ? i + off3 : ext - 1;
+              sc[i] = lane_a ? mixA(lane[i], lane[j])
+                             : mixB(lane[i], lane[j]);
+            }
+            hk_of(lane)->drop_range((size_t)w, (size_t)we);
+            hk_of(sc)->drop_range((size_t)w, (size_t)we);
           }
         });
         std::swap(lane, sc);
@@ -759,12 +1028,69 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
       unsigned hw = std::thread::hardware_concurrency();
       int T = (n >= (1 << 19) && hw > 1) ? (int)std::min<unsigned>(hw, 8)
                                          : 1;
+      // Spill mode: the per-member (position -> ha/hb/valid) gathers are
+      // random, so they would keep the full signature arrays resident no
+      // matter how often windows are dropped.  Rows are therefore
+      // processed in KEY RANGES [rlo, rhi) aligned to bucket starts: one
+      // sequential pass over POSITIONS scatters each in-range position's
+      // (ha, hb, valid) into row-aligned prep buffers
+      // (row = rank[i] + cursor[rank[i]-rlo]++, position order
+      // preserved because the stream ascends), and the bucket resolution
+      // then reads signatures sequentially BY ROW.  The big arrays are
+      // only ever streamed; the prep buffers are bounded by
+      // SIBELIA_TPU_SPILL_BUDGET_MB (default 2048).  Resolved buckets
+      // write final ranks strictly inside their own range (ranges are
+      // bucket-aligned), so later ranges' streams never see them as
+      // in-range keys.  In-RAM mode keeps the direct gathers (a single
+      // range, no prep) — byte parity between the two is covered by
+      // tests/test_spill.py.
+      const bool use_prep = spill_on();
+      int64_t range_rows = n;
+      if (use_prep) {
+        const char* e = std::getenv("SIBELIA_TPU_SPILL_BUDGET_MB");
+        int64_t mb = (e && e[0]) ? std::strtoll(e, nullptr, 10) : 2048;
+        range_rows = std::max<int64_t>((mb << 20) / 21, (int64_t)4096);
+        if (range_rows > n) range_rows = n;
+      }
+      static HVec<uint64_t> prep_a, prep_b;
+      static HVec<uint8_t> prep_v;
+      static HVec<uint32_t> prep_cur;
+      if (use_prep) {
+        prep_a.resize((size_t)range_rows);
+        prep_b.resize((size_t)range_rows);
+        prep_v.resize((size_t)range_rows);
+        prep_cur.resize((size_t)range_rows);
+      }
+      int64_t rlo = 0;
+      while (rlo < n) {
+      int64_t rhi = rlo + range_rows < n ? rlo + range_rows : n;
+      while (rhi < n && !gflag[rhi]) ++rhi;
+      if (use_prep) {
+        std::memset(prep_cur.data(), 0,
+                    (size_t)(rhi - rlo) * sizeof(uint32_t));
+        // serial ascending stream keeps members in position order
+        for (int64_t w = 0; w < n; w += kSpillWindow) {
+          int64_t we = std::min(n, w + kSpillWindow);
+          for (int64_t i2 = w; i2 < we; ++i2) {
+            int64_t kk = (int64_t)rank[i2];
+            if (kk < rlo || kk >= rhi) continue;
+            int64_t row = kk + (int64_t)prep_cur[kk - rlo]++ - rlo;
+            prep_a[(size_t)row] = ha[i2];
+            prep_b[(size_t)row] = hb[i2];
+            prep_v[(size_t)row] = (i2 + k) <= (int64_t)ar.next_sep[i2];
+          }
+          ar.rank.drop_range((size_t)w, (size_t)we);
+          ar.next_sep.drop_range((size_t)w, (size_t)we);
+          for (int s = 0; s < 3; ++s)
+            ar.hk[s].drop_range((size_t)w, (size_t)we);
+        }
+      }
       std::vector<int64_t> b_i((size_t)T + 1);
-      b_i[0] = 0;
-      b_i[(size_t)T] = n;
+      b_i[0] = rlo;
+      b_i[(size_t)T] = rhi;
       for (int t = 1; t < T; ++t) {
-        int64_t x = n * t / T;
-        while (x < n && !gflag[x]) ++x;
+        int64_t x = rlo + (rhi - rlo) * t / T;
+        while (x < rhi && !gflag[x]) ++x;
         b_i[(size_t)t] = x;
       }
       for (int t = 1; t < T; ++t)
@@ -777,22 +1103,64 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
       // disjoint order[] spans, so chunks never race, and the global
       // counting scatter (the former final_order_sort pass, a random
       // 64M-slot write) is skipped entirely for this backend.
+      auto HA = [&](int64_t row, int64_t p) {
+        return use_prep ? prep_a[(size_t)(row - rlo)] : ha[p];
+      };
+      auto HB = [&](int64_t row, int64_t p) {
+        return use_prep ? prep_b[(size_t)(row - rlo)] : hb[p];
+      };
+      auto VAL = [&](int64_t row, int64_t p) {
+        return use_prep ? (prep_v[(size_t)(row - rlo)] != 0)
+                        : ctx.window_valid(p);
+      };
       auto resolve_chunk = [&](int tid) {
         struct Mem { uint64_t a, b; int64_t pos; };
         std::vector<Mem> mem;
         std::vector<int64_t> inval;
         std::vector<int64_t> reps, rsz;  // class rep + class size
+        // sampled signature-equality audit: every 256th hash-equal merge
+        // is confirmed with one bounded suffix walk, converting a
+        // (astronomically unlikely, < 2^-75/run) 128-bit collision from
+        // silent rank corruption into a hard failure
+        int64_t audit_tick = 0;
+        auto audit_equal = [&](int64_t p, int64_t q) {
+          if ((++audit_tick & 255) != 0) return;
+          if (lcp_direct(ctx.pp, p, q, 32, k, n + pad) < k) {
+            std::fprintf(stderr,
+                         "sibelia_tpu: block-mix signature collision "
+                         "detected (positions %lld, %lld); aborting\n",
+                         (long long)p, (long long)q);
+            std::abort();
+          }
+        };
         int64_t i = b_i[(size_t)tid], iend = b_i[(size_t)(tid + 1)];
+        int64_t last_drop = i;
         while (i < iend) {
+          if (i - last_drop >= kSpillQuantum) {
+            // bound residency: consumed order/gflag windows plus (from
+            // thread 0) the randomly-probed arrays
+            ar.order.drop_range((size_t)last_drop, (size_t)i);
+            ar.gflag.drop_range((size_t)last_drop, (size_t)i);
+            if (tid == 0) {
+              ar.rank.drop();
+              ar.hk[0].drop();
+              ar.hk[1].drop();
+              ar.hk[2].drop();
+              ar.next_sep.drop();
+              ar.p.drop();
+            }
+            last_drop = i;
+          }
           int64_t j = i + 1;
           while (j < iend && !gflag[j]) ++j;
           int64_t g = j - i;
           if (g >= 2) {
-            if (g == 2 && ctx.window_valid(order[i]) &&
-                ctx.window_valid(order[i + 1])) {
+            if (g == 2 && VAL(i, order[i]) && VAL(i + 1, order[i + 1])) {
               // twin fast path (the dominant case)
               int64_t m0 = order[i], m1 = order[i + 1];
-              if (ha[m0] == ha[m1] && hb[m0] == hb[m1]) {
+              if (HA(i, m0) == HA(i + 1, m1) &&
+                  HB(i, m0) == HB(i + 1, m1)) {
+                audit_equal(m0, m1);
                 rank[m0] = i;
                 rank[m1] = i;
               } else {
@@ -813,11 +1181,11 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
               inval.clear();
               for (int64_t t2 = i; t2 < j; ++t2) {
                 int64_t p = order[t2];
-                if (!ctx.window_valid(p)) {
+                if (!VAL(t2, p)) {
                   inval.push_back(p);  // keeps base rank i (sorts first)
                   continue;
                 }
-                mem.push_back(Mem{ha[p], hb[p], p});
+                mem.push_back(Mem{HA(t2, p), HB(t2, p), p});
               }
               int64_t n_invalid = (int64_t)inval.size();
               // layout prefix: invalid members, position order (order[]
@@ -845,6 +1213,7 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
                     reps.push_back((int64_t)t2);
                     rsz.push_back(1);
                   } else {
+                    audit_equal(mem[t2 - 1].pos, mem[t2].pos);
                     ++rsz.back();
                   }
                 }
@@ -898,6 +1267,16 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
         std::vector<std::thread> th;
         for (int t = 0; t < T; ++t) th.emplace_back(resolve_chunk, t);
         for (auto& x : th) x.join();
+      }
+      rlo = rhi;
+      }  // range loop
+      if (use_prep) {
+        prep_a.drop();
+        prep_b.drop();
+        prep_v.drop();
+        prep_cur.drop();
+        ar.rank.drop();
+        for (int s = 0; s < 3; ++s) ar.hk[s].drop();
       }
     }
     return;  // order/gflag written in place; no final scatter needed
@@ -1158,17 +1537,20 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
       }
     }
   } else {
-  // r with negative sentinels past the end (numpy tail -(arange(k+1)+2))
+  // r with negative sentinels past the end (numpy tail -(arange(k+1)+2));
+  // the doubling working arrays stay int64 (widen from the u32 arenas)
   if ((int64_t)ar.r.size() < n + k + 1) ar.r.resize(n + k + 1);
   int64_t* r = ar.r.data();
-  std::memcpy(r, rank, (size_t)n * sizeof(int64_t));
+  parallel_for(n, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) r[i] = (int64_t)rank[i];
+  });
   for (int64_t i = 0; i < k + 1; ++i) r[n + i] = -(i + 2);
 
   if ((int64_t)ar.active.size() < n) ar.active.resize(n);
   if ((int64_t)ar.grp.size() < n) ar.grp.resize(n);
   parallel_for(n, [&](int64_t lo, int64_t hi) {
-    std::memcpy(ar.active.data() + lo, order + lo,
-                (size_t)(hi - lo) * sizeof(int64_t));
+    for (int64_t i = lo; i < hi; ++i)
+      ar.active[(size_t)i] = (int64_t)order[i];
     std::memcpy(ar.grp.data() + lo, gflag + lo, (size_t)(hi - lo));
   });
 
@@ -1286,33 +1668,23 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
     }
     length += step;
   }
-  std::memcpy(rank, r, (size_t)n * sizeof(int64_t));
+  parallel_for(n, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) rank[i] = (uint32_t)r[i];
+  });
   }
 
   // final order, stable by (rank, position): ranks are global bucket
   // starts, so one stable counting scatter places every element directly
   // (no sort); a group starts exactly where a bucket cursor is first used.
+  // u32 cursors/positions cover the whole 1 GB-cap supergenome (< 2^32).
   Prof _p_fin("final_order_sort");
-  if (n > (int64_t)INT32_MAX) {
-    // int32 cursors could overflow on >2^31-element supergenomes; fall
-    // back to a radix argsort on (rank, position) there (rank and
-    // position both fit 32 bits under the reference's 1 GB input cap).
-    if ((int64_t)ar.key.size() < n) ar.key.resize(n);
-    for (int64_t i = 0; i < n; ++i)
-      ar.key[(size_t)i] = ((uint64_t)(uint32_t)rank[i] << 32) | (uint32_t)i;
-    radix_argsort_u64_sk(ar.key.data(), order, n);
-    for (int64_t i = 0; i < n; ++i)
-      gflag[i] = (i == 0) || ((ar.key[(size_t)i] >> 32) !=
-                              (ar.key[(size_t)(i - 1)] >> 32));
-    return;
-  }
   if ((int64_t)ar.cursor.size() < n) ar.cursor.resize(n);
-  std::memset(ar.cursor.data(), 0, (size_t)n * sizeof(int32_t));
-  int32_t* cursor = ar.cursor.data();
+  std::memset(ar.cursor.data(), 0, (size_t)n * sizeof(uint32_t));
+  uint32_t* cursor = ar.cursor.data();
   for (int64_t i = 0; i < n; ++i) {
-    int64_t rk = rank[i];
-    int32_t c = cursor[rk]++;
-    order[rk + c] = i;
+    int64_t rk = (int64_t)rank[i];
+    uint32_t c = cursor[rk]++;
+    order[rk + c] = (uint32_t)i;
     gflag[rk + c] = (c == 0);
   }
 }
@@ -1333,8 +1705,13 @@ void kmer_ranks_native(const uint8_t* codes, int64_t n, int64_t k,
   std::lock_guard<std::mutex> lock(rank_mutex());
   RankArena& ar = rank_arena();
   compute_ranks(codes, n, k, ar);
-  std::memcpy(rank_out, ar.rank.data(), (size_t)n * sizeof(int64_t));
-  std::memcpy(order_out, ar.order.data(), (size_t)n * sizeof(int64_t));
+  const uint32_t* rk = ar.rank.data();
+  const uint32_t* od = ar.order.data();
+  parallel_for(n, [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; ++i) rank_out[i] = (int64_t)rk[i];
+    for (int64_t i = lo; i < hi; ++i) order_out[i] = (int64_t)od[i];
+  });
+  rank_arena_drop_all();
 }
 
 // Full bifurcation enumeration over the supergenome
@@ -1358,13 +1735,13 @@ void* enum_run(const uint8_t* codes, int64_t n, const int64_t* block_starts,
     compute_ranks(codes, n, k, ar);
   }
   Prof _p_scan0("enum_scan+map");
-  const int64_t* order = ar.order.data();
+  const uint32_t* order = ar.order.data();
   const uint8_t* gflag = ar.gflag.data();
   // validity: the k-window crosses no separator == next_sep distance,
   // reusing the arena's next-sep array (indices < n match enum semantics:
   // padding beyond n counts as separator there too, but positions with
   // p + k > n are already filtered by it)
-  const int64_t* next_sep = ar.next_sep.data();
+  const uint32_t* next_sep = ar.next_sep.data();
 
   // scan rank groups (gflag marks group starts in sorted order) over
   // valid positions; parallel over group-aligned chunks — each thread
@@ -1396,7 +1773,14 @@ void* enum_run(const uint8_t* codes, int64_t n, const int64_t* block_starts,
     std::vector<Sel>& sel = lsel[(size_t)tid];
     int64_t count = 0;
     std::vector<int64_t> members;
+    int64_t last_drop = i;
     while (i < iend) {
+      if (i - last_drop >= kSpillQuantum) {
+        ar.order.drop_range((size_t)last_drop, (size_t)i);
+        ar.gflag.drop_range((size_t)last_drop, (size_t)i);
+        if (tid == 0) ar.next_sep.drop();
+        last_drop = i;
+      }
       int64_t j = i;
       members.clear();
       int prev_or = 0, next_or = 0;
@@ -1493,6 +1877,7 @@ void* enum_run(const uint8_t* codes, int64_t n, const int64_t* block_starts,
       res->id[s].push_back(it.id);
     }
   }
+  rank_arena_drop_all();
   return res;
 }
 

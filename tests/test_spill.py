@@ -1,0 +1,82 @@
+"""External-memory (spill) mode: byte parity + activation.
+
+SIBELIA_TPU_SPILL_DIR routes the native ranking arenas onto unlinked
+temp files (MAP_SHARED) with windowed MADV_DONTNEED drops, bounding
+process RSS (native/ranking.cpp spill block).  The env is latched at
+first use inside the shared library, so each configuration runs in a
+subprocess (same pattern as the wave-scheduler window test).
+"""
+import hashlib
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from sibelia_tpu.native import load_ranking
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_SCRIPT = """
+import hashlib, sys
+import numpy as np
+sys.path.insert(0, %r)
+from tests.test_native_engine import _rand_genomes
+from sibelia_tpu.io.fasta import FASTARecord
+from sibelia_tpu.blocks.finder import BlockFinder
+
+genomes = _rand_genomes(7, 3, 9000)
+recs = [FASTARecord(g.decode(), "chr%%d" %% i, i + 1)
+        for i, g in enumerate(genomes)]
+bf = BlockFinder(list(recs))
+for (k, d) in ((10, 60), (20, 200), (40, 300)):
+    bf.perform_graph_simplifications(k, d, 4)
+blocks = bf.generate_synteny_blocks(30, 30, 100)
+h = hashlib.sha256()
+for c in bf.raw_seq:
+    h.update(np.ascontiguousarray(c).tobytes())
+for op in bf.original_pos:
+    h.update(np.ascontiguousarray(op).tobytes())
+for b in sorted(blocks, key=lambda b: (b.signed_id, b.start, b.end)):
+    h.update(repr((b.signed_id, b.start, b.end)).encode())
+print("HASH", h.hexdigest())
+"""
+
+
+def _run(extra_env, tmp):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.update(extra_env)
+    r = subprocess.run([sys.executable, "-c", _SCRIPT % REPO_ROOT],
+                       env=env, capture_output=True, text=True,
+                       timeout=600, cwd=str(tmp))
+    assert r.returncode == 0, r.stderr[-2000:]
+    return r.stdout.strip().splitlines()[-1]
+
+
+def test_spill_mode_byte_parity(tmp_path):
+    """Pipeline output (sequence, positions, blocks) must be identical
+    with spill mode forced onto every arena (SPILL_MIN=0) vs in-RAM,
+    including with the resolve prep forced into many tiny key ranges
+    (BUDGET_MB=0 drives the range partitioner to its floor)."""
+    if load_ranking() is None:
+        pytest.skip("native ranking unavailable")
+    base = _run({}, tmp_path)
+    spill = _run({"SIBELIA_TPU_SPILL_DIR": str(tmp_path),
+                  "SIBELIA_TPU_SPILL_MIN": "0"}, tmp_path)
+    assert base == spill
+    multirange = _run({"SIBELIA_TPU_SPILL_DIR": str(tmp_path),
+                       "SIBELIA_TPU_SPILL_MIN": "0",
+                       "SIBELIA_TPU_SPILL_BUDGET_MB": "0"}, tmp_path)
+    assert base == multirange
+
+
+def test_spill_files_are_unlinked(tmp_path):
+    """Spill temp files must be unlinked at creation (no disk litter)."""
+    if load_ranking() is None:
+        pytest.skip("native ranking unavailable")
+    _run({"SIBELIA_TPU_SPILL_DIR": str(tmp_path),
+          "SIBELIA_TPU_SPILL_MIN": "0"}, tmp_path)
+    left = [p for p in os.listdir(tmp_path) if p.startswith("sibelia_")]
+    assert left == [], left
