@@ -47,7 +47,8 @@ class BlockFinder:
         check = os.environ.get("SIBELIA_TPU_CHECK") == "1"
         if simplify_mod.TRACE is None and not check:
             ret = simplify_native(seq, enum, k, min_branch, max_iterations,
-                                  candidates=enum.candidates)
+                                  candidates=enum.candidates,
+                                  release_enum=True, progress=progress)
         if ret is None:
             store = store_from_enum(seq, enum)
             checker = None
@@ -64,10 +65,12 @@ class BlockFinder:
         return ret
 
     def generate_synteny_blocks(self, k: int, trim_k: int, min_size: int,
-                                shared_only: bool = False) -> list[BlockInstance]:
+                                shared_only: bool = False,
+                                progress=None) -> list[BlockInstance]:
         return generate_synteny_blocks(
             self.chr_list, self.raw_seq, self.original_pos, self.original_size,
-            k, trim_k, min_size, shared_only, self.rand, list_edges)
+            k, trim_k, min_size, shared_only, self.rand, list_edges,
+            progress=progress)
 
     def serialize_condensed_graph(self, k: int, out) -> None:
         """Reference: serialization.cpp:88-110 (dot format)."""

@@ -206,8 +206,11 @@ def generate_synteny_blocks(chr_list: list[FASTARecord],
                             k: int, trim_k: int, min_size: int,
                             shared_only: bool,
                             rand: GlibcRand | None,
-                            list_edges_fn) -> list[BlockInstance]:
-    """Reference: BlockFinder::GenerateSyntenyBlocks (synteny.cpp:229-287)."""
+                            list_edges_fn,
+                            progress=None) -> list[BlockInstance]:
+    """Reference: BlockFinder::GenerateSyntenyBlocks (synteny.cpp:229-287);
+    progress = PutProgressChr-style callable (50-dot bar over the edge
+    groups, util.cpp:89-111)."""
     overlap = [np.zeros(sz, dtype=np.int8) for sz in original_size]
 
     seq = MutableSequence(raw_seq, original_pos)
@@ -219,7 +222,17 @@ def generate_synteny_blocks(chr_list: list[FASTARecord],
     edges = [e for e in edges if e.original_length >= min_size]
     groups = group_by(edges, _cmp_edges_naturally)
     std_sort(groups, lambda a, b: (a[1] - a[0]) > (b[1] - b[0]))
+    if progress is not None:
+        progress(0, 0)
+    p_thresh = max(1, len(groups) // 50)
+    p_count = 0
+    p_prog = 0
     for g0, g1 in groups:
+        p_count += 1
+        if p_count >= p_thresh and progress is not None:
+            p_count = 0
+            p_prog = min(p_prog + 1, 50)
+            progress(p_prog, 1)
         seg = edges[g0:g1]
         std_sort(seg, _cmp_edges_by_direction)
         edges[g0:g1] = seg
@@ -242,5 +255,7 @@ def generate_synteny_blocks(chr_list: list[FASTARecord],
                                            chr_list[e.chr], start, end))
             block_count += 1
 
+    if progress is not None:
+        progress(50, 2)
     std_sort(block, lambda a, b: (a.chr_id, a.start) < (b.chr_id, b.start))
     return block

@@ -13,6 +13,7 @@ import os
 import sys
 
 from .. import VERSION
+from ..core.progress import make_progress_bar
 from ..core.config import MAX_INPUT_SIZE, PRESETS, read_stage_file
 from ..blocks.finder import BlockFinder
 from ..blocks.postprocess import glue_stripes
@@ -154,7 +155,8 @@ def run(argv: list[str]) -> int:
             print(f"Simplification stage {i + 1} of {len(stage)}")
             print("Enumerating vertices of the graph, then performing bulge removal...")
             n_before = sum(len(s) for s in finder.raw_seq)
-            finder.perform_graph_simplifications(k, d, args.maxiterations)
+            finder.perform_graph_simplifications(
+                k, d, args.maxiterations, progress=make_progress_bar())
             if trace:
                 dt = _time.time() - t_stage
                 n_now = sum(len(s) for s in finder.raw_seq)
@@ -184,7 +186,8 @@ def run(argv: list[str]) -> int:
 
         if not args.noblocks:
             history[-1] = finder.generate_synteny_blocks(
-                last_k, trim_k, args.minblocksize, args.sharedonly)
+                last_k, trim_k, args.minblocksize, args.sharedonly,
+                progress=make_progress_bar())
             if not args.nopostprocess:
                 history[-1] = glue_stripes(history[-1], chr_list)
             if args.correctboundaries:

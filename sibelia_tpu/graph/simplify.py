@@ -316,6 +316,12 @@ def simplify_graph(seq: MutableSequence, store: BifStore, k: int,
     (bulgeremoval.cpp:301,324); wire with SIBELIA_TPU_CHECK=1."""
     total_bulges = 0
     iterations = 0
+    # 50-dot bar pacing exactly as the reference (blockfinder.cpp:28-40)
+    count = 0
+    total_progress = 0
+    threshold = max(1, ((store.max_id + 1) * max_iterations) // 50)
+    if progress is not None:
+        progress(0, 0)
     while True:
         iterations += 1
         for bif_id in range(store.max_id + 1):
@@ -323,6 +329,13 @@ def simplify_graph(seq: MutableSequence, store: BifStore, k: int,
             total_bulges += removed
             if removed and invariant_check is not None:
                 invariant_check()
+            count += 1
+            if count >= threshold and progress is not None:
+                count = 0
+                total_progress = min(total_progress + 1, 50)
+                progress(total_progress, 1)
         if not (total_bulges > 0 and iterations < max_iterations):
             break
+    if progress is not None:
+        progress(50, 2)
     return total_bulges

@@ -20,6 +20,9 @@ _SO = os.path.join(_DIR, "build", "libsibelia_engine.so")
 _lib = None
 _tried = False
 
+# native progress hook (PutProgressChr twin; engine.cpp ProgressFn)
+PROGRESS_CFUNC = ctypes.CFUNCTYPE(None, ctypes.c_longlong, ctypes.c_int)
+
 
 def load() -> ctypes.CDLL | None:
     global _lib, _tried
@@ -55,6 +58,8 @@ def load() -> ctypes.CDLL | None:
     lib.engine_simplify_sparse.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_int64]
+    lib.engine_set_progress.restype = None
+    lib.engine_set_progress.argtypes = [ctypes.c_void_p, PROGRESS_CFUNC]
     lib.engine_chr_len.restype = ctypes.c_int64
     lib.engine_chr_len.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.engine_get_chr.restype = None
@@ -83,7 +88,9 @@ def radix_argsort(keys: np.ndarray) -> np.ndarray | None:
 
 def simplify_native(seq, enum, k: int, min_branch: int,
                     max_iterations: int,
-                    candidates: np.ndarray | None = None) -> int | None:
+                    candidates: np.ndarray | None = None,
+                    release_enum: bool = False,
+                    progress=None) -> int | None:
     """Run the full simplification stage natively. `seq` is a
     MutableSequence (mutated in place on success); `enum` a BifEnumeration.
     Returns the bulge count, or None if the native engine is unavailable.
@@ -137,6 +144,15 @@ def simplify_native(seq, enum, k: int, min_branch: int,
             seq.chars[c] = None
             seq.origpos[c] = None
         del char_bufs, op_bufs
+        if release_enum:
+            # stage-local enumeration: the instance arrays are dead once
+            # the engine holds its node tables (caller opts in)
+            enum.chr = enum.pos = enum.bif_id = (None, None)
+        cb_keepalive = None
+        if progress is not None:
+            cb_keepalive = PROGRESS_CFUNC(
+                lambda p, st: progress(int(p), int(st)))
+            lib.engine_set_progress(handle, cb_keepalive)
         if os.environ.get("SIBELIA_TPU_DENSE_SIMPLIFY") == "1":
             ret = lib.engine_simplify(handle, k, min_branch, max_iterations)
         else:

@@ -290,7 +290,13 @@ struct MarkBits {
 // engine state
 // ---------------------------------------------------------------------------
 
+// reference: src/util.cpp:89-111 PutProgressChr 50-dot console bar;
+// states mirror BlockFinder::State (start=0, run=1, end=2)
+typedef void (*ProgressFn)(long long progress, int state);
+const i64 PROGRESS_STRIDE = 50;
+
 struct Engine {
+    ProgressFn progress_fn = nullptr;
     int n_chr;
     std::vector<std::vector<uint8_t> > chars;
     std::vector<std::vector<int32_t> > origpos;  // fits the 1 GB input cap
@@ -302,12 +308,12 @@ struct Engine {
     std::vector<MarkBits> mark_bits[2];  // mark presence per (strand, chr)
     std::vector<int8_t> node_strand;
     std::vector<int32_t> node_chr;
-    std::vector<i64> node_pos;
-    std::vector<i64> node_bif;
+    std::vector<int32_t> node_pos;   // chromosome positions fit int32 (1 GB cap)
+    std::vector<uint32_t> node_bif;  // ids < 2^32; NO_BIF == 0xFFFFFFFF fits
     // per-chromosome node index so length-changing splices shift only the
     // affected chromosome's nodes (the reference's linked list pays nothing
     // here; our flat arrays pay O(nodes of chr) only on delta != 0)
-    std::vector<std::vector<i64> > nodes_of_chr;
+    std::vector<std::vector<int32_t> > nodes_of_chr;
     i64 max_id;
     // per-(strand, bifId) point lists: intrusive singly-linked lists over
     // node indices (front-insert == the reference's slist push_front,
@@ -316,9 +322,9 @@ struct Engine {
     // three flat arrays.  cnt[] counts entries still linked, INCLUDING
     // lazily-dead ones until cleanup() unlinks them (the reference's
     // CountBifurcations reads the list size under the same laziness).
-    std::vector<i64> list_head[2];     // per bifId, -1 = empty
+    std::vector<int32_t> list_head[2]; // per bifId, -1 = empty
     std::vector<int32_t> list_cnt[2];  // per bifId
-    std::vector<i64> node_next;        // per node, -1 = end
+    std::vector<int32_t> node_next;    // per node, -1 = end
     std::vector<std::pair<std::pair<int, i64>, i64> > to_clear;  // ((strand,bif),idx)
 
     // Visit scheduling (output-exact sparse iteration): the reference
@@ -393,7 +399,7 @@ struct Engine {
             int strand = to_clear[i].first.first;
             i64 bif = to_clear[i].first.second;
             i64 idx = to_clear[i].second;
-            i64* link = &list_head[strand][bif];
+            int32_t* link = &list_head[strand][bif];
             while (*link >= 0 && *link != idx) link = &node_next[*link];
             if (*link == idx) {
                 *link = node_next[idx];
@@ -424,7 +430,7 @@ struct Engine {
             if (delta != 0) mark_bits[strand][c].splice(start, stop, new_len);
         }
         if (delta != 0) {
-            const std::vector<i64>& idxs = nodes_of_chr[c];
+            const std::vector<int32_t>& idxs = nodes_of_chr[c];
             for (size_t i = 0; i < idxs.size(); i++) {
                 i64 idx = idxs[i];
                 if (node_pos[idx] >= stop) node_pos[idx] += delta;
@@ -1181,6 +1187,11 @@ i64 engine_simplify(void* handle, i64 k, i64 min_branch, i64 max_iterations) {
     bool prof = pv && pv[0] == '1';
     i64 total = 0;
     i64 iterations = 0;
+    // progress pacing as the reference dense loop (blockfinder.cpp:28-40)
+    i64 pcount = 0, pprog = 0;
+    i64 pthresh = ((e->max_id + 1) * max_iterations) / PROGRESS_STRIDE;
+    if (pthresh < 1) pthresh = 1;
+    if (e->progress_fn) e->progress_fn(0, 0);
     for (;;) {
         iterations++;
         i64 before = total;
@@ -1188,6 +1199,12 @@ i64 engine_simplify(void* handle, i64 k, i64 min_branch, i64 max_iterations) {
             std::chrono::steady_clock::now();
         for (i64 id = 0; id <= e->max_id; id++) {
             total += remove_bulges(*e, k, min_branch, id);
+            if (++pcount >= pthresh && e->progress_fn) {
+                pcount = 0;
+                pprog = pprog + 1 < PROGRESS_STRIDE ? pprog + 1
+                                                    : PROGRESS_STRIDE;
+                e->progress_fn((long long)pprog, 1);
+            }
         }
         if (prof) {
             double ms = std::chrono::duration<double, std::milli>(
@@ -1201,6 +1218,7 @@ i64 engine_simplify(void* handle, i64 k, i64 min_branch, i64 max_iterations) {
         }
         if (!(total > 0 && iterations < max_iterations)) break;
     }
+    if (e->progress_fn) e->progress_fn((long long)PROGRESS_STRIDE, 2);
     return total;
 }
 
@@ -1242,6 +1260,7 @@ i64 engine_simplify_sparse(void* handle, i64 k, i64 min_branch,
     e->mb_cur = min_branch;
     i64 total = 0;
     i64 iterations = 0;
+    if (e->progress_fn) e->progress_fn(0, 0);
     for (;;) {
         iterations++;
         i64 before = total;
@@ -1291,6 +1310,12 @@ i64 engine_simplify_sparse(void* handle, i64 k, i64 min_branch,
                          s.erase_ms, s.replace_ms, s.update_ms, s.walk_ms);
             s.reset();
         }
+        if (e->progress_fn)
+            e->progress_fn(
+                (long long)std::min<i64>(
+                    PROGRESS_STRIDE,
+                    iterations * PROGRESS_STRIDE / max_iterations),
+                1);
         if (!(total > 0 && iterations < max_iterations)) break;
         e->visit_now.swap(e->visit_next);
         std::fill(e->visit_next.begin(), e->visit_next.end(), 0);
@@ -1311,8 +1336,13 @@ i64 engine_simplify_sparse(void* handle, i64 k, i64 min_branch,
                 e->visit_now[i] &= cand[i];
         }
     }
+    if (e->progress_fn) e->progress_fn((long long)PROGRESS_STRIDE, 2);
     e->tracking = false;
     return total;
+}
+
+void engine_set_progress(void* handle, ProgressFn fn) {
+    ((Engine*)handle)->progress_fn = fn;
 }
 
 i64 engine_chr_len(void* handle, int c) {

@@ -145,6 +145,13 @@ struct HVec {
                 ~(((size_t)2 << 20) - 1);
     const char* sd = spill_dir();
     if (sd && nb >= spill_min()) {
+      // spilled arenas take exact size: the supergenome only shrinks
+      // across stages, and at the 1 GB cap the 12.5% slack would cost
+      // ~12 GB of scarce temp disk
+      nb = (n * sizeof(T) + ((size_t)2 << 20) - 1) &
+           ~(((size_t)2 << 20) - 1);
+    }
+    if (sd && nb >= spill_min()) {
       int fd = open(sd, O_TMPFILE | O_RDWR, 0600);
       if (fd < 0) {
         char tmpl[4096];
