@@ -42,6 +42,10 @@ class BlockFinder:
         from ..graph.indexed import randomize_and_enumerate, store_from_enum
         from ..native import simplify_native
         seq = MutableSequence(self.raw_seq, self.original_pos)
+        # seq ADOPTS the arrays (no copy); drop the finder's aliases so
+        # the native engine's buffer release (simplify_native) actually
+        # frees them — they are rebound from seq below either way
+        self.raw_seq = self.original_pos = None
         enum = randomize_and_enumerate(seq, k, self.rand, min_branch)
         ret = None
         check = os.environ.get("SIBELIA_TPU_CHECK") == "1"

@@ -417,10 +417,134 @@ void radix_argsort_u64(const uint64_t* keys, int64_t* idx, int64_t n) {
 // keys[order[i]] through a random-access stream.  The u32-index variant
 // serves every supergenome under the 1 GB input cap (n < 2^32): 32-bit
 // cursors and outputs halve the scatter traffic of the sort.
+// External-memory argsort: MSD bucketing by the top 16 key bits (one
+// bounded global scatter), then per-bucket position-stable sorts in
+// small in-RAM temporaries.  Bounded residency: the source is
+// window-dropped behind both passes, the scatter destination is dropped
+// periodically from thread 0 (it re-dirties only near the 65536 bucket
+// cursors), and finished bucket regions are dropped as the final pass
+// streams them.  Only ONE global scatter pays the dirty-page
+// accumulation (vs 4 LSD passes), and kbuf[0]/ibuf[0] are not needed at
+// all, cutting the spill files by a third.  Output identical to the LSD
+// path: within a bucket, sorting (key, position) pairs IS
+// position-stable key order.
+void radix_argsort_u64_sk_extmem(
+    uint64_t* keys, uint32_t* idx, int64_t n,
+    std::function<void(int64_t, int64_t)> drop_out) {
+  SortArena& ar = sort_arena();
+  if ((int64_t)ar.k[1].size() < n) ar.k[1].resize((size_t)n);
+  if ((int64_t)ar.i[1].size() < n) ar.i[1].resize((size_t)n);
+  uint64_t* kd = ar.k[1].data();
+  uint32_t* id_ = ar.i[1].data();
+  unsigned hw = std::thread::hardware_concurrency();
+  int T = (n >= (1 << 19) && hw > 1) ? (int)std::min<unsigned>(hw, 8) : 1;
+  const int B = 1 << 16;
+  if ((int)ar.cnt.size() < T) ar.cnt.resize((size_t)T);
+  for (int t = 0; t < T; ++t)
+    if (ar.cnt[(size_t)t].size() < (size_t)B)
+      ar.cnt[(size_t)t].resize((size_t)B);
+  // pass 1: per-thread histograms of the top 16 bits (src dropped behind)
+  {
+    auto count_slice = [&](int t) {
+      auto& c = ar.cnt[(size_t)t];
+      std::fill(c.begin(), c.begin() + B, 0);
+      int64_t lo = n * t / T, hi = n * (t + 1) / T;
+      for (int64_t w = lo; w < hi; w += kSpillWindow) {
+        int64_t we = std::min(hi, w + kSpillWindow);
+        for (int64_t i = w; i < we; ++i) ++c[keys[i] >> 48];
+        if (drop_out) drop_out(w, we);
+      }
+    };
+    std::vector<std::thread> th;
+    for (int t = 0; t < T; ++t) th.emplace_back(count_slice, t);
+    for (auto& x : th) x.join();
+  }
+  // merged exclusive prefix over (bucket, thread): per-thread cursors
+  std::vector<int64_t> bucket_off((size_t)B + 1);
+  {
+    int64_t total = 0;
+    for (int d = 0; d < B; ++d) {
+      bucket_off[(size_t)d] = total;
+      for (int t = 0; t < T; ++t) {
+        int64_t c = ar.cnt[(size_t)t][(size_t)d];
+        ar.cnt[(size_t)t][(size_t)d] = total;
+        total += c;
+      }
+    }
+    bucket_off[(size_t)B] = total;
+  }
+  // pass 2: the one global scatter (stable: per-(thread, bucket) cursors)
+  {
+    auto scatter_slice = [&](int t) {
+      auto& c = ar.cnt[(size_t)t];
+      int64_t lo = n * t / T, hi = n * (t + 1) / T;
+      int64_t chunk = kSpillQuantum;
+      for (int64_t cs = lo; cs < hi; cs += chunk) {
+        int64_t ce = std::min(hi, cs + chunk);
+        for (int64_t i = cs; i < ce; ++i) {
+          int64_t slot = c[keys[i] >> 48]++;
+          kd[slot] = keys[i];
+          id_[slot] = (uint32_t)i;
+        }
+        if (drop_out) drop_out(cs, ce);
+        if (t == 0 && ce < hi) {
+          ar.k[1].drop();
+          ar.i[1].drop();
+        }
+      }
+    };
+    std::vector<std::thread> th;
+    for (int t = 0; t < T; ++t) th.emplace_back(scatter_slice, t);
+    for (auto& x : th) x.join();
+  }
+  // pass 3: per-bucket stable sort ((key, pos) pairs), streamed back out
+  {
+    auto sort_chunk = [&](int t) {
+      struct Rec { uint64_t k; uint32_t i; };
+      std::vector<Rec> tmp;
+      int64_t last_lo = -1;
+      for (int d = t; d < B; d += T) {
+        int64_t lo = bucket_off[(size_t)d], hi = bucket_off[(size_t)d + 1];
+        int64_t g = hi - lo;
+        if (g <= 0) continue;
+        tmp.resize((size_t)g);
+        for (int64_t i = 0; i < g; ++i)
+          tmp[(size_t)i] = Rec{kd[lo + i], id_[lo + i]};
+        std::sort(tmp.begin(), tmp.end(), [](const Rec& a, const Rec& b) {
+          return a.k != b.k ? a.k < b.k : a.i < b.i;
+        });
+        for (int64_t i = 0; i < g; ++i) {
+          keys[lo + i] = tmp[(size_t)i].k;
+          idx[lo + i] = tmp[(size_t)i].i;
+        }
+        if (last_lo < 0) last_lo = lo;
+        if (hi - last_lo >= kSpillWindow) {
+          // interleaved bucket ownership makes per-thread ranges
+          // non-contiguous; dropping [last_lo, hi) of the scratch is
+          // still safe (refault) and bounds the straggler pages
+          ar.k[1].drop_range((size_t)last_lo, (size_t)hi);
+          ar.i[1].drop_range((size_t)last_lo, (size_t)hi);
+          if (drop_out) drop_out(last_lo, hi);
+          last_lo = hi;
+        }
+      }
+    };
+    std::vector<std::thread> th;
+    for (int t = 0; t < T; ++t) th.emplace_back(sort_chunk, t);
+    for (auto& x : th) x.join();
+    ar.k[1].drop();
+    ar.i[1].drop();
+  }
+}
+
 void radix_argsort_u64_sk(uint64_t* keys, uint32_t* idx, int64_t n,
                           std::function<void(int64_t, int64_t)> drop_out =
                               nullptr) {
   SortArena& ar = sort_arena();
+  if (spill_on() && n >= (int64_t)(spill_min() / 8)) {
+    radix_argsort_u64_sk_extmem(keys, idx, n, drop_out);
+    return;
+  }
   radix_argsort_impl<uint32_t, uint32_t>(keys, idx, n, ar.k, ar.i, ar.cnt,
                                          keys, drop_out);
 }
@@ -903,6 +1027,7 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
           if (ng) ls = i;
         }
         ar.gflag.drop_range((size_t)w, (size_t)we);
+        ar.big.drop_range((size_t)w, (size_t)we);  // phase 2 refaults
       }
       last_start[(size_t)t] = ls;
     };

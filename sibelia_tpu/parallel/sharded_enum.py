@@ -358,7 +358,14 @@ def enumerate_bifurcations_sharded(chromosomes: list[bytes], k: int,
     padded = np.zeros(N, dtype=np.uint8)
     padded[:n0] = codes
     sharding = NamedSharding(mesh, P(axis, None))
-    codes_dev = jax.device_put(padded.reshape(n_dev, L), sharding)
+    padded2d = padded.reshape(n_dev, L)
+    if jax.process_count() > 1:
+        # multi-host SPMD: every process reads the (small) input and
+        # contributes its addressable shards of the global array
+        codes_dev = jax.make_array_from_callback(
+            padded2d.shape, sharding, lambda idx: padded2d[idx])
+    else:
+        codes_dev = jax.device_put(padded2d, sharding)
 
     mesh_key = id(mesh)
     _MESHES[mesh_key] = mesh
@@ -381,8 +388,19 @@ def enumerate_bifurcations_sharded(chromosomes: list[bytes], k: int,
     count = int(total)
     if count == 0:
         return _empty_enumeration()
-    pos_h = np.asarray(out_pos).reshape(-1)
-    id_h = np.asarray(out_id).reshape(-1)
+    if jax.process_count() > 1:
+        # gather the selected instances to every host so the result is
+        # identical on all processes (multi-controller SPMD contract)
+        from jax.experimental import multihost_utils
+        pos_h = np.asarray(
+            multihost_utils.process_allgather(out_pos, tiled=True)
+        ).reshape(-1)
+        id_h = np.asarray(
+            multihost_utils.process_allgather(out_id, tiled=True)
+        ).reshape(-1)
+    else:
+        pos_h = np.asarray(out_pos).reshape(-1)
+        id_h = np.asarray(out_id).reshape(-1)
     m = pos_h >= 0
     sel = pos_h[m].astype(np.int64)
     sel_ids = id_h[m].astype(np.uint32)
