@@ -66,10 +66,15 @@ def _gnu_sort_n_k2(lines: list[str], reverse: bool = False) -> list[str]:
 
 
 def rechaos(seq1: bytes, name1: str, seq2: bytes, name2: str,
-            gfc: bool = True) -> str:
+            gfc: bool = True,
+            levels: list[tuple[int, int, int, int]] | None = None) -> str:
     """Returns the final anchor text (rechaos.pl stdout: anchors sorted by
     seq1 end, descending).  lagan.pl passes -gfc (gap-free chunk anchors);
-    mlagan calls rechaos without it (whole-hit anchors, mlagan.c:231-240)."""
+    mlagan calls rechaos without it (whole-hit anchors, mlagan.c:231-240).
+    `levels` overrides the recursion schedule (the `-recurse
+    "(wl,nd,co,rsc)x,..."` flag — e.g. cmerge2.pl's single
+    (12,0,40,0) level for contig-overlap detection)."""
+    recursion_levels = RECURSION_LEVELS if levels is None else levels
     seq1len = len(seq1)
     seq2len = len(seq2)
     b1, e1 = [1], [seq1len]
@@ -80,8 +85,8 @@ def rechaos(seq1: bytes, name1: str, seq2: bytes, name2: str,
     app_str = ""
     sorted_lines: list[str] = []
 
-    for level, (wl, nd, co, rsc) in enumerate(RECURSION_LEVELS):
-        stillmore = level + 1 < len(RECURSION_LEVELS)
+    for level, (wl, nd, co, rsc) in enumerate(recursion_levels):
+        stillmore = level + 1 < len(recursion_levels)
         pairs_text = "".join(
             f"-s1 {b1[j]} {e1[j]} -s2 {b2[j]} {e2[j]}\n"
             for j in range(len(b1)))

@@ -26,14 +26,13 @@ Disposition of every util (reference: src/lagan/src/utils/):
   contigorder     -> contig_order (contigorder.c: overlap-group flood
                      fill + subset DP placement over hit ranges)
   seqmerge, Glue, getoverlap, cextract, cstat, getcontigpos, overlay
-                  -> remaining draft-assembly glue (draft.pl steps that
-                     splice FASTA text around the placements); unused
-                     by C-Sibelia.  Their inputs (pairwise contig
-                     alignments, the score table, the placement list)
-                     are produced by align/lagan_exact.py,
-                     score_contigs and contig_order above; the
-                     remaining text-splicing steps are out of scope
-                     until a draft-assembly workflow needs them.
+                  -> seq_merge / glue / get_overlap / cextract / cstat /
+                     get_contig_pos / overlay below, byte-exact vs the
+                     rebuilt binaries (tests/test_toolkit_draft.py);
+                     the draft.pl / cmerge2.pl flows that drive them
+                     live in align/draft.py (draft_assemble /
+                     draft_merge, the latter differential-tested
+                     against the reference cmerge2.pl).
   dotplot         -> superseded: anchor hit lists are returned as text
                      by lagan_exact.rechaos and plot trivially
 """
@@ -474,3 +473,545 @@ def contig_order(table_text: str):
 
     results.sort(key=lambda r: r[1])
     return "".join("%d --> (%d %d) %d\n" % r for r in results)
+
+
+# ---------------------------------------------------------------------------
+# Draft-assembly glue utils (the formerly-dispositioned seven).
+# Text-in/text-out twins of the reference binaries, byte-exact including
+# formatting quirks (differential tests: tests/test_toolkit_draft.py).
+# ---------------------------------------------------------------------------
+
+
+def seq_merge(texts: list[str]) -> str:
+    """seqmerge.c: concatenate the FIRST record of each file; the first
+    file's header line is kept verbatim; 60-column output with a global
+    column counter.  Reference quirk preserved: the trailing-newline
+    guard is `written ^ 60 != 0`, which C parses as `written ^ (60 != 0)`
+    — a newline is appended unless exactly one char was written
+    (seqmerge.c:33)."""
+    out = []
+    written = 0
+    for fi, text in enumerate(texts):
+        nl = text.find("\n")
+        header = text if nl < 0 else text[:nl + 1]
+        body = "" if nl < 0 else text[nl + 1:]
+        if fi == 0:
+            out.append(header[:1024])
+        for ch in body:
+            if ch == ">":
+                break
+            if ch.isalpha() or ch in ".-":
+                out.append(ch)
+                written += 1
+                if written % 60 == 0:
+                    out.append("\n")
+    if (written ^ 1) != 0:
+        out.append("\n")
+    return "".join(out)
+
+
+_OVL_RE = re.compile(
+    r"\(\s*(-?\d+)\s+(-?\d+)\s*\)=\(\s*(-?\d+)\s+(-?\d+)\s*\)\s+\S+")
+
+
+def get_overlap(anchors_text: str) -> str:
+    """getoverlap.c: min/max over the hit ranges of a chaos/rechaos
+    anchor file; `-1 -1 -1 -1` when no line parses."""
+    b1 = b2 = 100000000
+    e1 = e2 = -100000000
+    n = 0
+    for line in anchors_text.splitlines():
+        m = _OVL_RE.match(line.strip())
+        if not m:
+            # fscanf would stop making progress here; stop like the
+            # reference effectively does on well-formed inputs
+            if line.strip():
+                break
+            continue
+        a, b, c, d = (int(x) for x in m.groups())
+        b1 = min(b1, a)
+        e1 = max(e1, b)
+        b2 = min(b2, c)
+        e2 = max(e2, d)
+        n += 1
+    if n == 0:
+        return "-1 -1 -1 -1\n"
+    return "%d %d %d %d\n" % (b1, e1, b2, e2)
+
+
+def _read_mfa_columns(text: str):
+    """readfile() of cextract.c/getcontigpos.c: first line is the kept
+    `name` (verbatim, with newline); every record must have the same
+    letter/./- length as the first."""
+    nl = text.find("\n")
+    name = text if nl < 0 else text[:nl + 1]
+    rows = []
+    cur = None
+    in_header = False
+    for i, ch in enumerate(text):
+        if ch == ">" and (i == 0 or text[i - 1] == "\n"):
+            cur = []
+            rows.append(cur)
+            in_header = True
+            continue
+        if in_header:
+            if ch == "\n":
+                in_header = False
+            continue
+        if cur is not None and (ch.isalpha() or ch in ".-"):
+            cur.append(ch)
+    rows = ["".join(r) for r in rows]
+    if rows:
+        assert all(len(r) == len(rows[0]) for r in rows), \
+            "sequences of different lengths"
+    return name, rows
+
+
+def get_contig_pos(mfa_text: str, finish: int) -> str:
+    """getcontigpos.c: walk the 2-row alignment; when the row-0 letter
+    count reaches `finish`, print the row-1 letter count (empty output
+    if never reached)."""
+    _, rows = _read_mfa_columns(mfa_text)
+    pos = pos2 = 0
+    for i in range(len(rows[0]) if rows else 0):
+        if pos > finish:
+            break
+        if rows[0][i].isalpha():
+            pos += 1
+        if rows[1][i].isalpha():
+            pos2 += 1
+        if pos == finish:
+            return "%d\n" % pos2
+    return ""
+
+
+def cextract(mfa_text: str, begin: int, finish: int, seq_idx: int,
+             seq_ext: int, subst_text: str | None = None) -> str:
+    """cextract.c: emit seq_ext's letters/'.' at columns where
+    seq_idx's letter count lies in [begin, finish]; with `-subst`, chars
+    come from the substitute file's first record indexed by the GLOBAL
+    count of seq_ext letter/'.' columns.  Header = the file's first
+    line, verbatim."""
+    name, rows = _read_mfa_columns(mfa_text)
+    rows2 = None
+    if subst_text is not None:
+        _, rows2 = _read_mfa_columns(subst_text)
+    out = [name]
+    pos = written = j = 0
+    for i in range(len(rows[seq_idx])):
+        if pos > finish:
+            break
+        if rows[seq_idx][i].isalpha():
+            pos += 1
+        c = rows[seq_ext][i]
+        if c.isalpha() or c == ".":
+            if begin <= pos <= finish:
+                out.append(c if rows2 is None else rows2[0][j])
+                written += 1
+                if written % 60 == 0:
+                    out.append("\n")
+            j += 1
+    if written % 60 != 0:
+        out.append("\n")
+    return "".join(out)
+
+
+_CSTAT_ALPHA = "ATCGN-"
+
+
+def cstat(mfa_text: str, cutoff: int, window: int,
+          s1shift: int = 0, s2shift: int = 0) -> str:
+    """cstat.c: sliding-window pairwise conservation regions over a
+    multi-fasta alignment; prints the total covered length then each
+    region's alignment range and per-sequence letter ranges (the
+    reference's >2-sequence branch repeats sequence 0's range — quirk
+    preserved)."""
+    # readMultial: counts per column per class + non-gap bitmask
+    recs = []
+    cur = None
+    for i, ch in enumerate(mfa_text):
+        if ch == ">" and (i == 0 or mfa_text[i - 1] == "\n"):
+            cur = ["", True]  # (chars, in_header)
+            recs.append(cur)
+            continue
+        if cur is None:
+            continue
+        if cur[1]:
+            if ch == "\n":
+                cur[1] = False
+            continue
+        if not ch.isspace():
+            cur[0] += ch.upper()
+    if not recs:
+        return "0\n"
+    length = len(recs[0][0])
+    numseq = len(recs)
+    cnts = [[0] * length for _ in range(6)]
+    algn = [0] * length
+    for si, (chars, _) in enumerate(recs):
+        assert len(chars) == length, "Sequence of different lengths"
+        for i, c in enumerate(chars):
+            if c not in _CSTAT_ALPHA:
+                c = "N"
+            h = _CSTAT_ALPHA.index(c)
+            cnts[h][i] += 1
+            if h != 5:
+                algn[i] |= 1 << si
+
+    def get_score(i):
+        return ((cnts[0][i] * (cnts[0][i] - 1))
+                + (cnts[1][i] * (cnts[1][i] - 1))
+                + (cnts[2][i] * (cnts[2][i] - 1))
+                + (cnts[3][i] * (cnts[3][i] - 1))) // 2
+
+    numpairs = numseq * (numseq - 1) // 2
+    window = min(window, length)
+    first, last = [], []
+    runstart = -1
+    score = sum(get_score(i) for i in range(window))
+    if score * 100 >= window * numpairs * cutoff:
+        runstart = 0
+    for i in range(1, length - window + 1):
+        score += get_score(i + window - 1) - get_score(i - 1)
+        if score * 100 >= window * numpairs * cutoff:
+            if runstart == -1:
+                if first and last[-1] >= i:
+                    runstart = first.pop()
+                    last.pop()
+                else:
+                    runstart = i
+        elif runstart >= 0:
+            first.append(runstart)
+            last.append(i + window - 1)
+            runstart = -1
+    if runstart >= 0:
+        first.append(runstart)
+        last.append(length - 1)
+
+    out = ["%d\n" % sum(b - a for a, b in zip(first, last))]
+    s = e = 0
+    start = [0] * numseq
+    end = [0] * numseq
+
+    def skipto(trgt, i, pos):
+        while i < trgt:
+            for j in range(numseq):
+                pos[j] += 1 if (algn[i] >> j) & 1 else 0
+            i += 1
+        return i
+
+    for a, b in zip(first, last):
+        s = skipto(a, s, start)
+        e = skipto(b, e, end)
+        out.append("(%d %d) --> " % (a + s1shift, b + s1shift))
+        if numseq == 2:
+            out.append("(%d %d), " % (start[0] + s1shift, end[0] + s1shift))
+            out.append("(%d %d)\n" % (start[1] + s2shift, end[1] + s2shift))
+        else:
+            for j in range(numseq):
+                out.append("(%d %d)%s" % (start[0], end[0],
+                                          "\n" if j == numseq - 1 else ", "))
+    return "".join(out)
+
+
+_OVERLAY_VALID = "ACGTN-"
+
+
+def _overlay_read_records(text: str):
+    """read_align() of overlay.c: per record (header-without-newline,
+    chars) with invalid chars (case-insensitively outside ACGTN-)
+    replaced by 'N', case otherwise preserved."""
+    recs = []
+    cur = None
+    in_header = False
+    header: list[str] = []
+    for i, ch in enumerate(text):
+        if ch == ">" and (i == 0 or text[i - 1] == "\n"):
+            in_header = True
+            header = [">"]
+            cur = []
+            recs.append([header, cur])
+            continue
+        if cur is None:
+            continue
+        if in_header:
+            if ch == "\n":
+                in_header = False
+            else:
+                header.append(ch)
+            continue
+        if not ch.isspace():
+            if ch.upper() not in _OVERLAY_VALID:
+                ch = "N"
+            cur.append(ch)
+    return [("".join(h), c) for h, c in recs]
+
+
+def overlay(align_text: str, seq_texts: list[str]) -> str:
+    """overlay.c: replace every non-gap char of the alignment rows with
+    the raw-sequence chars, matched by header-prefix; 60-column MFA
+    output (newline BEFORE each 60-char row, as the reference prints)."""
+    aligns = _overlay_read_records(align_text)
+    overlays: dict[int, list[str]] = {}
+    for text in seq_texts:
+        for header, chars in _overlay_read_records(text):
+            for i, (ah, _) in enumerate(aligns):
+                if ah.startswith(header):
+                    overlays[i] = chars
+                    break
+            else:
+                raise ValueError("seq %s not found!" % header)
+    out = []
+    for i, (header, arow) in enumerate(aligns):
+        ov = overlays[i]
+        pos = 0
+        merged = []
+        for c in arow:
+            if c != "-":
+                merged.append(ov[pos])
+                pos += 1
+            else:
+                merged.append(c)
+        out.append(header)
+        for ci, c in enumerate(merged):
+            if ci % 60 == 0:
+                out.append("\n")
+            out.append(c)
+        out.append("\n")
+    return "".join(out)
+
+
+# --- Glue.cpp -------------------------------------------------------------
+
+_XMFA_HDR = re.compile(r">(\d+):(\d+)-(\d+) (\S)(?:\s+(\S+))?")
+
+
+def _glue_sections(text: str):
+    """Split the concatenated-MFA stream into '='-separated sections of
+    (start, end, strand, chars) records (Sequence.h header parsing:
+    XMFA `>id:start-end {+,-} [comment]`, else MFA defaults)."""
+    sections: list[list[tuple[int, int, str, str]]] = [[]]
+    lines = text.split("\n")
+    i = 0
+    while i < len(lines):
+        ln = lines[i]
+        if ln.startswith("="):
+            sections.append([])
+            i += 1
+            continue
+        if ln.startswith(">"):
+            m = _XMFA_HDR.match(ln)
+            chars = []
+            i += 1
+            while i < len(lines) and not lines[i].startswith(">") \
+                    and not lines[i].startswith("="):
+                chars.append("".join(
+                    c.upper() for c in lines[i] if not c.isspace()))
+                i += 1
+            data = "".join(chars)
+            if not data:
+                continue
+            if m:
+                start, end, strand = int(m.group(2)), int(m.group(3)), \
+                    m.group(4)
+            else:
+                start, end, strand = 1, len(data), "+"
+            sections[-1].append((start, end, strand, data))
+            continue
+        i += 1
+    return [s for s in sections if s] or [[]]
+
+
+def _glue_find_split(data1: str, data2: str, overlap: int,
+                     data1a: str, data2a: str) -> int:
+    """findSplit (Glue.cpp): best split of `overlap` letters between the
+    tail of the new alignment and the head of the merged one."""
+    offs1 = len(data1)
+    num1 = 0
+    for i in range(len(data1) - 1, -1, -1):
+        if overlap == 0:
+            break
+        if data1[i].isalpha():
+            num1 += 1
+        if num1 == overlap:
+            offs1 = i
+            break
+    offs2 = 0
+    num1 = 0
+    for i in range(len(data2)):
+        if overlap == 0:
+            break
+        if data2[i].isalpha():
+            num1 += 1
+        if num1 == overlap:
+            offs2 = i
+            break
+    score1 = [0] * (overlap + 1)
+    score2 = [0] * (overlap + 1)
+    score = 0
+    ct = 0
+    i = 0
+    while ct < overlap:
+        if data1[i + offs1].isalpha():
+            ct += 1
+        score += 18 if data1[i + offs1] == data1a[i + offs1] else -8
+        score1[ct] = score
+        i += 1
+    score = 0
+    ct = 0
+    i = 0
+    while ct < overlap:
+        if data2[offs2 - i].isalpha():
+            ct += 1
+        score += 18 if data2[offs2 - i] == data2a[offs2 - i] else -8
+        score2[ct] = score
+        i += 1
+    best = -1000000
+    j = 0
+    for i in range(overlap + 1):
+        if score1[i] + score2[overlap - i] > best:
+            best = score1[i] + score2[overlap - i]
+            j = i
+    return j
+
+
+def _glue_chop_left(data1: list, data2: list, num: int, in_align: bool):
+    here = -1
+    if in_align:
+        here = num - 1
+    else:
+        num1 = 0
+        for i in range(len(data1)):
+            if num == 0:
+                break
+            if isinstance(data1[i], str) and data1[i].isalpha():
+                num1 += 1
+            if num1 == num:
+                here = i
+                break
+    chopped = here + 1
+    del data1[:chopped]
+    del data2[:chopped]
+    return chopped
+
+
+def _glue_chop_right(data1: list, data2: list, num: int, in_align: bool):
+    here = len(data1)
+    if in_align:
+        here = len(data1) - num
+    else:
+        num1 = 0
+        for i in range(len(data1) - 1, -1, -1):
+            if num == 0:
+                break
+            if isinstance(data1[i], str) and data1[i].isalpha():
+                num1 += 1
+            if num1 == num:
+                here = i
+                break
+    ret = len(data1) - here
+    del data1[here:]
+    del data2[here:]
+    return ret
+
+
+def glue(mfa_stream_text: str) -> tuple[str, str]:
+    """Glue.cpp main: merge a stream of 2-row contig-vs-finished
+    alignments (ordered descending along the finished sequence, as
+    draft.pl emits them) into one gapped pair, overlaps resolved by
+    findSplit; returns (merged MFA for stdout, per-contig Align table
+    for the info file).  CNTG_BRK_N and the final left padding follow
+    Glue.cpp:450-470."""
+    CNTG_BRK_N = 50
+    INF = 2000000000
+    merged1: list[str] = []
+    merged2: list[str] = []
+    m1lab: list[int] = []
+    m2lab: list[int] = []
+    strand = ["?"]
+    begin1 = end1 = 1
+    align_num = 0
+    for section in _glue_sections(mfa_stream_text):
+        if len(section) != 2:
+            break
+        align_num += 1
+        (b1, e1, _, d0), (_, _, str1, d1) = section
+        strand.append(str1)
+        if align_num == 1:
+            begin1, end1 = b1, e1
+            merged1 = list(d0)
+            merged2 = list(d1)
+            m1lab = [1] * len(merged1)
+            m2lab = [1] * len(merged2)
+            continue
+        seqs0 = list(d0)
+        seqs1 = list(d1)
+        s0lab = [align_num] * len(seqs0)
+        s1lab = [align_num] * len(seqs1)
+        overlap = e1 - begin1 + 1
+        if overlap > 0:
+            num_left = _glue_find_split("".join(seqs0), "".join(merged1),
+                                        overlap, "".join(seqs1),
+                                        "".join(merged2))
+            num_right = overlap - num_left
+            chopped_left = _glue_chop_left(merged1, merged2, num_left, False)
+            chopped_right = _glue_chop_right(seqs0, seqs1, num_right, False)
+            _glue_chop_left(m1lab, m2lab, chopped_left, True)
+            _glue_chop_right(s0lab, s1lab, chopped_right, True)
+        elif overlap < 0:
+            merged1 = ["N"] * (-overlap) + merged1
+            merged2 = ["N"] * (-overlap) + merged2
+            m1lab = [0] * (-overlap) + m1lab
+            m2lab = [0] * (-overlap) + m2lab
+        merged1 = seqs0 + merged1
+        merged2 = seqs1 + merged2
+        m1lab = s0lab + m1lab
+        m2lab = s1lab + m2lab
+        begin1 = b1
+
+    pad1 = ["N"] * (begin1 - 1)
+    pad2 = ["-"] * (begin1 - 1)
+    for i in range(min(len(pad2), CNTG_BRK_N)):
+        pad2[i] = "N"
+    merged1 = pad1 + merged1
+    merged2 = pad2 + merged2
+    m1lab = [0] * (begin1 - 1) + m1lab
+    m2lab = [0] * (begin1 - 1) + m2lab
+
+    info = []
+    for i in range(1, align_num + 1):
+        min1 = min2 = INF
+        max1 = max2 = 0
+        pos1 = pos2 = 0
+        for j in range(len(m1lab)):
+            if merged1[j].isalpha():
+                pos1 += 1
+            if merged2[j].isalpha():
+                pos2 += 1
+            if m1lab[j] == i:
+                min1 = min(min1, pos1)
+                max1 = max(max1, pos1)
+            if m2lab[j] == i:
+                min2 = min(min2, pos2)
+                max2 = max(max2, pos2)
+        info.append("Align %d\n" % i)
+        if min1 == INF:
+            info.append("%d was cropped completely.\n" % i)
+        else:
+            info.append("%d %d %d 0 0 0 0 %s 0 %d %d\n"
+                        % (i, min1, max1, strand[i], min2, max2))
+
+    def print_mfa(data, comment):
+        out = [">" + comment + "\n"]
+        written = 0
+        for c in data:
+            out.append(c)
+            written += 1
+            if written % 60 == 0:
+                out.append("\n")
+        if written % 60 != 0:
+            out.append("\n")
+        return "".join(out)
+
+    stdout = print_mfa(merged1, "first") + print_mfa(merged2, "second")
+    return stdout, "".join(info)
