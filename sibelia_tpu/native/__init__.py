@@ -153,6 +153,32 @@ def simplify_native(seq, enum, k: int, min_branch: int,
             cb_keepalive = PROGRESS_CFUNC(
                 lambda p, st: progress(int(p), int(st)))
             lib.engine_set_progress(handle, cb_keepalive)
+        # device-side bulge detection: SIBELIA_TPU_WAVE_DEVICE=1 forces,
+        # =0 disables; default follows the backend gate (local TPU/GPU
+        # on, CPU/tunneled off)
+        wd_env = os.environ.get("SIBELIA_TPU_WAVE_DEVICE")
+        if wd_env is None:
+            from ..core.platform import device_dispatch
+            use_wd = device_dispatch()
+        else:
+            use_wd = wd_env == "1"
+        rp_keepalive = None
+        if use_wd:
+            _configure_reprefilter_api(lib)
+
+            def _rp(cand_ptr, n_ids):
+                try:
+                    bm = _device_reprefilter(lib, handle, n_chr, k,
+                                             min_branch, int(n_ids))
+                except Exception:
+                    return 0
+                if bm is None:
+                    return 0
+                ctypes.memmove(cand_ptr, bm.ctypes.data, int(n_ids))
+                return 1
+
+            rp_keepalive = REPREFILTER_CFUNC(_rp)
+            lib.engine_set_reprefilter(handle, rp_keepalive)
         if os.environ.get("SIBELIA_TPU_DENSE_SIMPLIFY") == "1":
             ret = lib.engine_simplify(handle, k, min_branch, max_iterations)
         else:
@@ -499,3 +525,92 @@ def prolagan_native(seqs, names, profiles, pair_anchor_lines, tree) -> str | Non
         return _take_string(lib, ptr)
     finally:
         lib.ml_destroy(h)
+
+
+# ---------------------------------------------------------------------------
+# Device-side bulge detection (the sparse sweep's re-prefilter on TPU)
+# ---------------------------------------------------------------------------
+
+def _configure_reprefilter_api(lib):
+    if getattr(lib, "_reprefilter_configured", False):
+        return
+    lib.engine_set_reprefilter.restype = None
+    lib.engine_set_reprefilter.argtypes = [ctypes.c_void_p,
+                                           REPREFILTER_CFUNC]
+    lib.engine_live_node_count.restype = ctypes.c_int64
+    lib.engine_live_node_count.argtypes = [ctypes.c_void_p]
+    lib.engine_export_nodes.restype = None
+    lib.engine_export_nodes.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 4
+    lib.engine_export_chars.restype = None
+    lib.engine_export_chars.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                        ctypes.c_void_p]
+    lib._reprefilter_configured = True
+
+
+REPREFILTER_CFUNC = ctypes.CFUNCTYPE(ctypes.c_longlong,
+                                     ctypes.POINTER(ctypes.c_uint8),
+                                     ctypes.c_longlong)
+
+
+def _device_reprefilter(lib, handle, n_chr, k, min_branch, n_ids):
+    """Frozen-state bulge-candidate detection on the device: export the
+    engine's live instance table + current sequence, rebuild the
+    supergenome frame, and run the banded self-join candidate kernel
+    (index/enumeration.py::_candidate_scan).  Returns a uint8[n_ids]
+    bitmap that is a SUPERSET of "AnyBulges reports a group" on the
+    frozen state (same guarantee as the host prefilter, which also only
+    removes ids the serial reference loop would leave untouched), or
+    None on any failure (host fallback).
+
+    This is the framework's second-hottest loop (the bif-id x
+    branch-walk bulge scan, reference: src/bulgeremoval.cpp:158-218)
+    expressed as device segment ops over the position-sorted instance
+    table: walk membership is a banded self-join (positions ascend, so
+    a walk is a contiguous run of rows), and the two-distinct-end-chars
+    rule is a segmented compare over (owner, member) tuples."""
+    import jax.numpy as jnp
+
+    from ..index.enumeration import _candidate_scan, build_supergenome
+    from ..index.ranking import _PAD_BUCKET
+
+    chroms = []
+    for c in range(n_chr):
+        ln = lib.engine_chr_len(handle, c)
+        buf = np.empty(ln, dtype=np.uint8)
+        lib.engine_export_chars(handle, c, buf.ctypes.data)
+        chroms.append(buf)
+    lens = np.asarray([len(c) for c in chroms], dtype=np.int64)
+    m = int(lib.engine_live_node_count(handle))
+    strand = np.empty(m, dtype=np.int8)
+    chrs = np.empty(m, dtype=np.int32)
+    pos = np.empty(m, dtype=np.int64)
+    bif = np.empty(m, dtype=np.uint32)
+    lib.engine_export_nodes(handle, strand.ctypes.data, chrs.ctypes.data,
+                            pos.ctypes.data, bif.ctypes.data)
+
+    codes, block_starts = build_supergenome(chroms)
+    if codes.shape[0] >= (1 << 31):
+        return None  # int32 kernel position space exceeded
+    # positive-frame node -> supergenome coordinate (strand 1 lives in
+    # the rc half at the mirrored local offset)
+    block = np.where(strand == 0, chrs, n_chr + chrs)
+    local = np.where(strand == 0, pos, lens[chrs] - 1 - pos)
+    sg = block_starts[block] + local
+    order = np.argsort(sg, kind="stable")
+    sg = sg[order].astype(np.int32)
+    ids = bif[order].astype(np.int32)
+
+    n = codes.shape[0]
+    pad_to = -(-n // _PAD_BUCKET) * _PAD_BUCKET
+    if pad_to != n:
+        codes = np.concatenate([codes,
+                                np.zeros(pad_to - n, dtype=codes.dtype)])
+    bucket = 1 << max(10, (max(m, n_ids) - 1).bit_length())
+    pos_p = np.full(bucket, pad_to, dtype=np.int32)
+    ids_p = np.full(bucket, bucket, dtype=np.int32)
+    pos_p[:m] = sg
+    ids_p[:m] = ids
+    cand_d = _candidate_scan(jnp.asarray(codes), jnp.asarray(pos_p),
+                             jnp.asarray(ids_p), int(k), int(min_branch),
+                             jnp.int32(m))
+    return np.asarray(cand_d[:n_ids]).astype(np.uint8)

@@ -295,8 +295,19 @@ struct MarkBits {
 typedef void (*ProgressFn)(long long progress, int state);
 const i64 PROGRESS_STRIDE = 50;
 
+// Device bulge-candidate detection hook: the sparse sweep's
+// re-prefilter (a frozen-state detection pass) can be served by an
+// external engine — in production a JAX/Pallas banded self-join over
+// the exported instance table (native/__init__.py::_device_reprefilter,
+// kernel: index/enumeration.py::_candidate_scan).  The callback fills
+// cand_out[n_ids] and returns nonzero; zero falls back to the host
+// prefilter.  Any SUPERSET of "AnyBulges reports a group" keeps the
+// sweep byte-exact (the sparse-driver invariant).
+typedef long long (*ReprefilterFn)(uint8_t* cand_out, long long n_ids);
+
 struct Engine {
     ProgressFn progress_fn = nullptr;
+    ReprefilterFn reprefilter_fn = nullptr;
     int n_chr;
     std::vector<std::vector<uint8_t> > chars;
     std::vector<std::vector<int32_t> > origpos;  // fits the 1 GB input cap
@@ -1242,7 +1253,13 @@ i64 engine_simplify_sparse(void* handle, i64 k, i64 min_branch,
         e->visit_now.assign((size_t)e->max_id + 1, 0);
         std::memcpy(e->visit_now.data(), cand0, (size_t)m);
     } else {
-        prefilter_candidates(*e, k, min_branch, e->visit_now);
+        bool filled = false;
+        if (e->reprefilter_fn) {
+            e->visit_now.assign((size_t)e->max_id + 1, 0);
+            filled = e->reprefilter_fn(e->visit_now.data(),
+                                       e->max_id + 1) != 0;
+        }
+        if (!filled) prefilter_candidates(*e, k, min_branch, e->visit_now);
     }
     e->visit_next.assign((size_t)e->max_id + 1, 0);
     if (prof) {
@@ -1331,7 +1348,13 @@ i64 engine_simplify_sparse(void* handle, i64 k, i64 min_branch,
             // on), so intersecting it with the flags only skips ids the
             // serial reference would leave untouched.
             std::vector<uint8_t> cand;
-            prefilter_candidates(*e, k, min_branch, cand);
+            bool filled = false;
+            if (e->reprefilter_fn) {
+                cand.assign((size_t)e->max_id + 1, 0);
+                filled = e->reprefilter_fn(cand.data(),
+                                           e->max_id + 1) != 0;
+            }
+            if (!filled) prefilter_candidates(*e, k, min_branch, cand);
             for (size_t i = 0; i < e->visit_now.size(); i++)
                 e->visit_now[i] &= cand[i];
         }
@@ -1343,6 +1366,40 @@ i64 engine_simplify_sparse(void* handle, i64 k, i64 min_branch,
 
 void engine_set_progress(void* handle, ProgressFn fn) {
     ((Engine*)handle)->progress_fn = fn;
+}
+
+void engine_set_reprefilter(void* handle, ReprefilterFn fn) {
+    ((Engine*)handle)->reprefilter_fn = fn;
+}
+
+// Export the live instance table (nodes whose bif point still stands)
+// for the device detection kernel; count first, then fill.
+i64 engine_live_node_count(void* handle) {
+    Engine* e = (Engine*)handle;
+    i64 n = 0;
+    for (size_t i = 0; i < e->node_bif.size(); i++)
+        if ((i64)e->node_bif[i] != NO_BIF) n++;
+    return n;
+}
+
+void engine_export_nodes(void* handle, int8_t* strand_out,
+                         int32_t* chr_out, int64_t* pos_out,
+                         uint32_t* bif_out) {
+    Engine* e = (Engine*)handle;
+    i64 w = 0;
+    for (size_t i = 0; i < e->node_bif.size(); i++) {
+        if ((i64)e->node_bif[i] == NO_BIF) continue;
+        strand_out[w] = e->node_strand[i];
+        chr_out[w] = e->node_chr[i];
+        pos_out[w] = (int64_t)e->node_pos[i];
+        bif_out[w] = e->node_bif[i];
+        ++w;
+    }
+}
+
+void engine_export_chars(void* handle, int c, uint8_t* out) {
+    Engine* e = (Engine*)handle;
+    std::memcpy(out, e->chars[c].data(), e->chars[c].size());
 }
 
 i64 engine_chr_len(void* handle, int c) {
