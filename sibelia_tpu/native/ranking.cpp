@@ -73,6 +73,9 @@ const int64_t kSpillWindow = (int64_t)1 << 25;  // 32M elements
 // random-scatter phases drop their whole destination every this many
 // processed elements per thread (bounds dirty-page accumulation)
 const int64_t kSpillQuantum = (int64_t)1 << 24;  // 16M elements
+// whole-array drop cadence for the global scatter destinations (the
+// costly madvise storms; accumulation between drops stays ~6 GB)
+const int64_t kSpillDropQuantum = (int64_t)1 << 26;  // 64M elements
 
 // Whether to request transparent huge pages on arena mappings.  Huge
 // pages cut first-touch faults ~500x, but when the kernel's THP defrag
@@ -478,7 +481,7 @@ void radix_argsort_u64_sk_extmem(
     auto scatter_slice = [&](int t) {
       auto& c = ar.cnt[(size_t)t];
       int64_t lo = n * t / T, hi = n * (t + 1) / T;
-      int64_t chunk = kSpillQuantum;
+      int64_t chunk = kSpillDropQuantum;
       for (int64_t cs = lo; cs < hi; cs += chunk) {
         int64_t ce = std::min(hi, cs + chunk);
         for (int64_t i = cs; i < ce; ++i) {
@@ -1059,12 +1062,13 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
           if (gflag[i]) start = i;
           rank[order[i]] = (uint32_t)start;
         }
-        // the rank writes are random; drop the whole destination
-        // periodically from thread 0 and the sequential inputs behind
+        // sequential inputs dropped behind; the random rank writes
+        // necessarily keep ~the whole rank array resident for this
+        // phase (4 B/pos — within budget), so no in-phase whole-array
+        // drops: they only add refault + TLB-shootdown cost
         ar.big.drop_range((size_t)cs, (size_t)ce);
         ar.order.drop_range((size_t)cs, (size_t)ce);
         ar.gflag.drop_range((size_t)cs, (size_t)ce);
-        if (t == 0 && ce < hi) ar.rank.drop();
       }
     };
     run_all(phase2);
@@ -1269,18 +1273,12 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
         int64_t last_drop = i;
         while (i < iend) {
           if (i - last_drop >= kSpillQuantum) {
-            // bound residency: consumed order/gflag windows plus (from
-            // thread 0) the randomly-probed arrays
+            // consumed order/gflag windows only; the randomly-probed
+            // arrays are handled by the prep stream (spill mode) or
+            // must stay resident (in-RAM), so whole-drops here would
+            // just thrash
             ar.order.drop_range((size_t)last_drop, (size_t)i);
             ar.gflag.drop_range((size_t)last_drop, (size_t)i);
-            if (tid == 0) {
-              ar.rank.drop();
-              ar.hk[0].drop();
-              ar.hk[1].drop();
-              ar.hk[2].drop();
-              ar.next_sep.drop();
-              ar.p.drop();
-            }
             last_drop = i;
           }
           int64_t j = i + 1;
@@ -1910,7 +1908,6 @@ void* enum_run(const uint8_t* codes, int64_t n, const int64_t* block_starts,
       if (i - last_drop >= kSpillQuantum) {
         ar.order.drop_range((size_t)last_drop, (size_t)i);
         ar.gflag.drop_range((size_t)last_drop, (size_t)i);
-        if (tid == 0) ar.next_sep.drop();
         last_drop = i;
       }
       int64_t j = i;
