@@ -289,3 +289,73 @@ def test_invariant_check_mode(monkeypatch):
     store.node_bif[0] += 1
     with pytest.raises(AssertionError):
         check_invariants(seq, store, 25, idmap)
+
+
+@pytest.mark.parametrize("seed", [41, 43, 47])
+def test_csibelia_contig_set_randomized(tmp_path, seed):
+    """Randomized contig-set hardening (VERDICT r3 weak #8): many
+    contigs in shuffled input order, several unplaced insertions, both
+    breakend and -u modes.  Asserts the intricate degenerate-order
+    surface: breakend ids are the dense bnd_{2i}/bnd_{2i+1} pairs in
+    output order, runs are deterministic byte-for-byte, every novel
+    contig surfaces exactly once (BND pair or -u record), and the
+    non-breakend VCF body is unchanged between the two modes
+    (reference: C-Sibelia.py:446-463,374-427)."""
+    from sibelia_tpu.cli.csibelia import run
+
+    rng = np.random.default_rng(seed)
+    genome = _rand_seq(rng, 80000)
+    ref = tmp_path / "ref.fasta"
+    _write_fasta(ref, [("ref_chr", genome)])
+
+    # 5 covering contigs with SNPs + small indels, 3 novel contigs
+    bounds = [0, 18000, 35000, 50000, 64000, 80000]
+    recs = []
+    for i in range(5):
+        seg = list(genome[bounds[i]:bounds[i + 1]])
+        for p in rng.integers(100, len(seg) - 100, size=12):
+            seg[p] = "ACGT"[rng.integers(0, 4)]
+        recs.append(("ctg_%02d" % i, "".join(seg)))
+    for i in range(3):
+        recs.append(("novel_%02d" % i, _rand_seq(rng, 1500 + 400 * i)))
+    order = rng.permutation(len(recs))
+    recs = [recs[i] for i in order]
+    asm = tmp_path / "asm.fasta"
+    _write_fasta(asm, recs)
+
+    def run_mode(tag, extra):
+        out = tmp_path / tag
+        rc = run([str(ref), str(asm), "-o", str(out), "-m", "500",
+                  "-v", "variant.vcf"] + extra)
+        assert rc == 0
+        return (out / "variant.vcf").read_text()
+
+    vcf_a = run_mode("a", [])
+    vcf_b = run_mode("b", [])  # determinism
+    assert vcf_a == vcf_b
+
+    body = [ln for ln in vcf_a.splitlines() if not ln.startswith("#")]
+    bnds = [ln.split("\t") for ln in body if "SVTYPE=BND" in ln]
+    # dense pair numbering in output order: bnd_0, bnd_1, bnd_2, ...
+    ids = [f[2] for f in bnds]
+    assert ids == ["bnd_%d" % i for i in range(len(ids))], ids
+    assert len(ids) % 2 == 0 and len(ids) // 2 == 3  # one pair per novel
+    # each novel contig appears in exactly two breakend ALTs (the
+    # bracketed chr:pos mate notation, C-Sibelia.py:455-459)
+    joined = "\n".join("\t".join(f) for f in bnds)
+    for name, _ in recs:
+        if name.startswith("novel"):
+            hits = joined.count("[%s:" % name) + joined.count("]%s:" % name)
+            assert hits == 2, (name, hits)
+
+    # -u mode: breakends replaced by FASTA records; everything else is
+    # byte-identical
+    vcf_u = run_mode("u", ["-u", "unmapped.fasta"])
+    assert "SVTYPE=BND" not in vcf_u
+    strip = lambda t: [ln for ln in t.splitlines()
+                       if not ln.startswith("#") and "SVTYPE=BND" not in ln]
+    assert strip(vcf_a) == strip(vcf_u)
+    unmapped = (tmp_path / "u" / "unmapped.fasta").read_text()
+    for name, _ in recs:
+        if name.startswith("novel"):
+            assert unmapped.count('Seq="%s"' % name) == 1, name
