@@ -23,6 +23,31 @@ Routing capacities are data-dependent (sample sort bounds them only
 probabilistically); every exchange reports overflow and the host wrapper
 retries with doubled capacity (a fresh jit) up to the worst case, so
 overflow is handled, not just detected.
+
+Collective traffic budget (per enumeration of N supergenome rows over
+D devices; derive the crossover from these, don't trust CPU-mesh
+timings — the virtual mesh serializes collectives on 2 cores and
+inverts the scaling):
+
+  * halo ppermute: (k-1) bytes per device pair boundary — negligible.
+  * splitter all_gather: 64*D order statistics — negligible.
+  * key all_to_all (k <= 32: once; k > 32: once per doubling round):
+    ~16 B/row leaves and ~16 B/row arrives per device, uniformly
+    spread, i.e. (N/D)*16 B per device per round over ICI.
+  * final scan routing all_to_all: ~12 B/selected-row (selected rows
+    are the bifurcation instances, typically ~5-10% of N).
+  * k > 32 doubling all_gather of the rank vector: 4*N bytes INTO each
+    device per round — the one unpartitioned term and therefore the
+    multi-chip scalability limiter for large k (ceil(log2(k/32))
+    rounds).
+
+Projected crossover on real ICI (v5e-class, ~45 GB/s/link, single-chip
+fused enumeration ~4.5 ns/kmer): exchange cost ~0.36 ns/row per
+all_to_all round is well under the ~4.5 ns/row compute, so k <= 32
+sharding pays off as soon as a genome exceeds one chip's HBM working
+set (~2^27 rows); for k > 32 the unpartitioned rank all_gather caps
+useful D at roughly compute/gather = (4.5 ns * N/D) / (4 B * N / BW),
+i.e. D <~ 50 on a v5e slice before the gather dominates.
 """
 from __future__ import annotations
 
