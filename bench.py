@@ -379,6 +379,12 @@ def _e2e_16strain():
         subprocess.run([ref_bin, "-s", "loose", "-o", "/tmp/bench_s16_ref",
                         fasta], capture_output=True, timeout=3600)
         out["reference_s"] = round(time.time() - t0, 1)
+        try:
+            with open("/tmp/bench_s16/blocks_coords.txt", "rb") as a, \
+                    open("/tmp/bench_s16_ref/blocks_coords.txt", "rb") as b:
+                out["blocks_identical"] = a.read() == b.read()
+        except OSError:
+            pass
     else:
         rec = _recorded()
         ref = rec.get("e2e_16strain_reference_s") if rec else None
