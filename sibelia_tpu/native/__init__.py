@@ -126,6 +126,12 @@ def simplify_native(seq, enum, k: int, min_branch: int,
             packed.append((np.ascontiguousarray(chrs),
                            np.ascontiguousarray(coords),
                            np.ascontiguousarray(bids)))
+            del poss, coords
+        if release_enum:
+            # drop the source instance arrays BEFORE the engine ingest so
+            # they never coexist with the packed copies + engine tables
+            # (at the 1 GB scale each set is ~1.3 GB)
+            enum.chr = enum.pos = enum.bif_id = (None, None)
         (c0, p0, b0), (c1, p1, b1) = packed
         lib.engine_set_bifs(
             handle, enum.count,
@@ -144,10 +150,6 @@ def simplify_native(seq, enum, k: int, min_branch: int,
             seq.chars[c] = None
             seq.origpos[c] = None
         del char_bufs, op_bufs
-        if release_enum:
-            # stage-local enumeration: the instance arrays are dead once
-            # the engine holds its node tables (caller opts in)
-            enum.chr = enum.pos = enum.bif_id = (None, None)
         cb_keepalive = None
         if progress is not None:
             cb_keepalive = PROGRESS_CFUNC(
