@@ -1953,44 +1953,46 @@ void* enum_run(const uint8_t* codes, int64_t n, const int64_t* block_starts,
     id_off[(size_t)t] = count;
     count += lcount[(size_t)t];
   }
-  std::vector<Sel> sel;
-  {
-    size_t total_sel = 0;
-    for (int t = 0; t < TS; ++t) total_sel += lsel[(size_t)t].size();
-    sel.reserve(total_sel);
-    for (int t = 0; t < TS; ++t) {
-      uint32_t off = (uint32_t)id_off[(size_t)t];
-      for (Sel s : lsel[(size_t)t]) {
-        s.id += off;
-        sel.push_back(s);
-      }
-    }
-  }
   res->count = count;
 
-  // map to (strand, chr, local) and sort per strand by (chr, pos)
+  // map to (strand, chr, local) and sort per strand by (chr, pos) —
+  // STREAMING: convert each thread-local Sel chunk and free it before
+  // touching the next (at genome scale the instance tables are GBs;
+  // the old merge kept Sel + merged + Inst staging co-resident)
   struct Inst {
     int64_t chr, pos;
     uint32_t id;
   };
   std::vector<Inst> strand_insts[2];
-  for (const Sel& s : sel) {
-    // block = last start <= pos (upper_bound - 1), clipped as in numpy
-    int64_t lo = 0, hi = n_blocks;
-    while (lo < hi) {
-      int64_t mid = (lo + hi) / 2;
-      if (block_starts[mid] <= s.sgpos)
-        lo = mid + 1;
-      else
-        hi = mid;
+  {
+    size_t total_sel = 0;
+    for (int t = 0; t < TS; ++t) total_sel += lsel[(size_t)t].size();
+    // chunks are position-ordered per strand-half, so sizes split
+    // roughly evenly; reserve the upper bound once per strand
+    strand_insts[0].reserve(total_sel);
+  }
+  for (int t = 0; t < TS; ++t) {
+    uint32_t off = (uint32_t)id_off[(size_t)t];
+    for (const Sel& s0 : lsel[(size_t)t]) {
+      // block = last start <= pos (upper_bound - 1), clipped as in
+      // numpy
+      int64_t lo = 0, hi = n_blocks;
+      while (lo < hi) {
+        int64_t mid = (lo + hi) / 2;
+        if (block_starts[mid] <= s0.sgpos)
+          lo = mid + 1;
+        else
+          hi = mid;
+      }
+      int64_t blk = lo - 1;
+      if (blk < 0) blk = 0;
+      if (blk > 2 * n_chr - 1) blk = 2 * n_chr - 1;
+      int64_t chr = (blk < n_chr) ? blk : blk - n_chr;
+      int64_t local = s0.sgpos - block_starts[blk];
+      int strand = (blk >= n_chr) ? 1 : 0;
+      strand_insts[strand].push_back(Inst{chr, local, s0.id + off});
     }
-    int64_t blk = lo - 1;
-    if (blk < 0) blk = 0;
-    if (blk > 2 * n_chr - 1) blk = 2 * n_chr - 1;
-    int64_t chr = (blk < n_chr) ? blk : blk - n_chr;
-    int64_t local = s.sgpos - block_starts[blk];
-    int strand = (blk >= n_chr) ? 1 : 0;
-    strand_insts[strand].push_back(Inst{chr, local, s.id});
+    std::vector<Sel>().swap(lsel[(size_t)t]);  // free the chunk
   }
   for (int s = 0; s < 2; ++s) {
     std::sort(strand_insts[s].begin(), strand_insts[s].end(),
@@ -2005,6 +2007,7 @@ void* enum_run(const uint8_t* codes, int64_t n, const int64_t* block_starts,
       res->pos[s].push_back(it.pos);
       res->id[s].push_back(it.id);
     }
+    std::vector<Inst>().swap(strand_insts[s]);
   }
   rank_arena_drop_all();
   return res;
