@@ -1184,7 +1184,27 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
       int64_t range_rows = n;
       if (use_prep) {
         const char* e = std::getenv("SIBELIA_TPU_SPILL_BUDGET_MB");
-        int64_t mb = (e && e[0]) ? std::strtoll(e, nullptr, 10) : 2048;
+        int64_t mb = 0;
+        if (e && e[0]) {
+          mb = std::strtoll(e, nullptr, 10);
+        } else {
+          // default: a sixth of MemAvailable (each range costs a full
+          // sequential re-stream of rank+ha+hb+next_sep, so small
+          // budgets multiply resolve wall-clock), clamped to [2, 16] GB
+          int64_t avail_kb = 0;
+          if (FILE* f = std::fopen("/proc/meminfo", "r")) {
+            char line[256];
+            while (std::fgets(line, sizeof(line), f)) {
+              if (std::sscanf(line, "MemAvailable: %lld kB",
+                              (long long*)&avail_kb) == 1)
+                break;
+            }
+            std::fclose(f);
+          }
+          mb = avail_kb > 0 ? (avail_kb / 1024) / 6 : 2048;
+          if (mb < 2048) mb = 2048;
+          if (mb > 16384) mb = 16384;
+        }
         range_rows = std::max<int64_t>((mb << 20) / 21, (int64_t)4096);
         if (range_rows > n) range_rows = n;
       }
