@@ -141,12 +141,13 @@ struct HVec {
     if (hi > bytes) hi = bytes;
     if (hi > lo) madvise((char*)ptr + lo, hi - lo, MADV_DONTNEED);
   }
+  bool no_spill = false;  // set on buffers that ARE the in-RAM budget
   void resize(size_t n) {
     if (n <= cap) return;
     size_t want = n + n / 8;  // slack so stagewise growth remaps rarely
     size_t nb = (want * sizeof(T) + ((size_t)2 << 20) - 1) &
                 ~(((size_t)2 << 20) - 1);
-    const char* sd = spill_dir();
+    const char* sd = no_spill ? nullptr : spill_dir();
     if (sd && nb >= spill_min()) {
       // spilled arenas take exact size: the supergenome only shrinks
       // across stages, and at the 1 GB cap the 12.5% slack would cost
@@ -1212,6 +1213,10 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
       static HVec<uint8_t> prep_v;
       static HVec<uint32_t> prep_cur;
       if (use_prep) {
+        // the prep buffers ARE the in-RAM budget: anonymous memory
+        // (random scatter into file-backed pages would churn writeback)
+        prep_a.no_spill = prep_b.no_spill = true;
+        prep_v.no_spill = prep_cur.no_spill = true;
         prep_a.resize((size_t)range_rows);
         prep_b.resize((size_t)range_rows);
         prep_v.resize((size_t)range_rows);
