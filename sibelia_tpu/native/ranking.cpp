@@ -1202,9 +1202,9 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
             }
             std::fclose(f);
           }
-          mb = avail_kb > 0 ? (avail_kb / 1024) / 6 : 2048;
+          mb = avail_kb > 0 ? (avail_kb / 1024) / 8 : 2048;
           if (mb < 2048) mb = 2048;
-          if (mb > 16384) mb = 16384;
+          if (mb > 8192) mb = 8192;
         }
         range_rows = std::max<int64_t>((mb << 20) / 21, (int64_t)4096);
         if (range_rows > n) range_rows = n;
