@@ -76,11 +76,15 @@ class BlockFinder:
             k, trim_k, min_size, shared_only, self.rand, list_edges,
             progress=progress)
 
-    def serialize_condensed_graph(self, k: int, out) -> None:
-        """Reference: serialization.cpp:88-110 (dot format)."""
+    def serialize_condensed_graph(self, k: int, out, progress=None) -> None:
+        """Reference: serialization.cpp:88-110 (dot format); progress =
+        PutProgressChr-style bar over the edge list (sibelia.cpp:261)."""
         seq = MutableSequence(self.raw_seq, self.original_pos)
         store = build_index(seq, k, self.rand)
         edges = list_edges(seq, store, k)
+        if progress is not None:
+            progress(0, 0)
+            progress(50, 2)
         out.write("digraph G\n{\n")
         out.write("rankdir=LR\n")
         for e in edges:

@@ -151,7 +151,8 @@ def run(argv: list[str]) -> int:
                         history[i] = glue_stripes(history[i], chr_list)
                 if args.graphfile:
                     with open(os.path.join(args.outdir, f"de_bruijn_graph{i}.dot"), "w") as g:
-                        finder.serialize_condensed_graph(k, g)
+                        finder.serialize_condensed_graph(
+                            k, g, progress=make_progress_bar())
             print(f"Simplification stage {i + 1} of {len(stage)}")
             print("Enumerating vertices of the graph, then performing bulge removal...")
             n_before = sum(len(s) for s in finder.raw_seq)
