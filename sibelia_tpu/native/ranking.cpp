@@ -584,6 +584,18 @@ struct RankArena {
   uint64_t c_sum = 0;
   int64_t c_n = -1;
   bool c_valid = false;
+  // final-level cache: at k > 32 the block-mix fold/resolve dominate
+  // repeat enumerations of an UNCHANGED sequence at the SAME k (the
+  // block-generation pass always re-ranks at the last stage's k).
+  // Snapshot the refined (rank, order, gflag) keyed by (checksum, k);
+  // a hit is spot-verified against the packed words like the 32-level
+  // cache (k-aware: extra group starts within equal-32-key runs are
+  // legal).
+  HVec<uint32_t> f_rank, f_order;
+  HVec<uint8_t> f_gflag;
+  uint64_t f_sum = 0;
+  int64_t f_n = -1, f_k = -1;
+  bool f_valid = false;
 };
 RankArena& rank_arena() {
   static RankArena a;
@@ -870,6 +882,11 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
                     && n < kReleaseThreshold);
   bool cache_store = (k > 32 && b == 16 && blockmix_enabled()
                       && !cache_hit && n < kReleaseThreshold);
+  bool fcache_hit = (k > 32 && b == 16 && blockmix_enabled()
+                     && ar.f_valid && ar.f_n == n && ar.f_k == k
+                     && ar.f_sum == csum && n < kReleaseThreshold);
+  bool fcache_store = (k > 32 && b == 16 && blockmix_enabled()
+                       && !fcache_hit && n < kReleaseThreshold);
 
   // next separator at or after i (padding positions count as separators,
   // as in the numpy twin's zero padding)
@@ -944,6 +961,46 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
   uint32_t* order = ar.order.data();
   uint32_t* rank = ar.rank.data();
   uint8_t* gflag = ar.gflag.data();
+  if (fcache_hit) {
+    // spot-verify the stored FINAL order against the packed words:
+    // sampled adjacent sorted slots must be 32-key-ordered, and a
+    // 32-key difference must carry a group start (equal 32-keys may
+    // legally split deeper, so gflag=1 there is fine)
+    const uint32_t* f_ord = ar.f_order.data();
+    const uint8_t* f_gf = ar.f_gflag.data();
+    const uint32_t* nsp = ar.next_sep.data();
+    auto key_at = [&](int64_t p) -> uint64_t {
+      bool valid = (p + m) <= (int64_t)nsp[p];
+      return valid ? (((uint64_t)pp[p] << 32) | pp[off + p])
+                   : 0xFFFFFFFFFFFFFFFFULL;
+    };
+    uint64_t sdd = ar.f_sum | 1;
+    for (int t = 0; t < 64 && fcache_hit; ++t) {
+      sdd = sdd * 6364136223846793005ULL + 1442695040888963407ULL;
+      int64_t j = (int64_t)(sdd % (uint64_t)n);
+      if (j == 0) continue;
+      uint64_t ka = key_at((int64_t)f_ord[j - 1]);
+      uint64_t kb = key_at((int64_t)f_ord[j]);
+      if (ka > kb || (ka != kb && f_gf[j] != 1)) fcache_hit = false;
+    }
+    if (fcache_hit) {
+      Prof _p("rank_full_cache_hit");
+      parallel_for(n, [&](int64_t lo, int64_t hi) {
+        std::memcpy(rank + lo, ar.f_rank.data() + lo,
+                    (size_t)(hi - lo) * sizeof(uint32_t));
+        std::memcpy(order + lo, ar.f_order.data() + lo,
+                    (size_t)(hi - lo) * sizeof(uint32_t));
+        std::memcpy(gflag + lo, ar.f_gflag.data() + lo,
+                    (size_t)(hi - lo));
+      });
+      return;
+    }
+    std::fprintf(stderr,
+                 "sibelia_tpu: full-rank cache checksum collision "
+                 "detected; recomputing\n");
+    ar.f_valid = false;
+    fcache_store = true;
+  }
   if (cache_hit) {
     // spot-verify the stored order against the packed words before
     // trusting the checksum: 64 random sorted slots must be key-ordered
@@ -1433,6 +1490,24 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
         ar.rank.drop();
         for (int s = 0; s < 3; ++s) ar.hk[s].drop();
       }
+    }
+    if (fcache_store) {
+      Prof _p("rank_full_cache_store");
+      if ((int64_t)ar.f_rank.size() < n) ar.f_rank.resize((size_t)n);
+      if ((int64_t)ar.f_order.size() < n) ar.f_order.resize((size_t)n);
+      if ((int64_t)ar.f_gflag.size() < n) ar.f_gflag.resize((size_t)n);
+      parallel_for(n, [&](int64_t lo, int64_t hi) {
+        std::memcpy(ar.f_rank.data() + lo, rank + lo,
+                    (size_t)(hi - lo) * sizeof(uint32_t));
+        std::memcpy(ar.f_order.data() + lo, order + lo,
+                    (size_t)(hi - lo) * sizeof(uint32_t));
+        std::memcpy(ar.f_gflag.data() + lo, gflag + lo,
+                    (size_t)(hi - lo));
+      });
+      ar.f_sum = csum;
+      ar.f_n = n;
+      ar.f_k = k;
+      ar.f_valid = true;
     }
     return;  // order/gflag written in place; no final scatter needed
   } else if (lcp_refine_enabled()) {
