@@ -208,6 +208,84 @@ struct Boost154Map {
 // marks are sparse — the bitmap turns detection into a sparse iteration.
 // ---------------------------------------------------------------------------
 
+// position -> node-index map per (strand, chromosome): open addressing,
+// linear probing, slot = (pos+1)<<32 | idx (0 = empty, 1 = tombstone).
+// Replaces the former dense int32-per-position bif_at tables: memory is
+// per NODE (16 B) instead of per position (4 B/pos/strand — 8.6 GB at
+// the 1 GB input scale), and a length-changing splice rebuilds the
+// chromosome's map in O(nodes) during the node_pos rebase sweep instead
+// of memmoving the dense tail in O(chromosome length).  Occupancy
+// iteration stays on the MarkBits bitmaps (maintained in lockstep, as
+// before).
+struct PosMap {
+    std::vector<u64> slots;
+    size_t mask = 0;
+    size_t live = 0, tombs = 0;
+
+    static inline size_t hash_pos(i64 pos) {
+        return (size_t)((u64)(pos + 1) * 2654435761u);
+    }
+    void init(size_t want) {
+        size_t n = 16;
+        while (n < want * 2) n <<= 1;
+        slots.assign(n, 0);
+        mask = n - 1;
+        live = tombs = 0;
+    }
+    i64 find(i64 pos) const {
+        if (slots.empty()) return -1;
+        u64 key = (u64)(pos + 1) << 32;
+        for (size_t h = hash_pos(pos) & mask;; h = (h + 1) & mask) {
+            u64 v = slots[h];
+            if (v == 0) return -1;
+            if (v != 1 && (v & 0xFFFFFFFF00000000ULL) == key)
+                return (i64)(uint32_t)v;
+        }
+    }
+    void insert(i64 pos, i64 idx) {
+        if (slots.empty() || (live + tombs + 1) * 10 > slots.size() * 7)
+            rehash(live + 1);
+        u64 key = ((u64)(pos + 1) << 32) | (u64)(uint32_t)idx;
+        size_t h = hash_pos(pos) & mask;
+        for (;; h = (h + 1) & mask) {
+            u64 v = slots[h];
+            if (v == 0) break;
+            if (v == 1) { --tombs; break; }
+        }
+        slots[h] = key;
+        ++live;
+    }
+    void erase(i64 pos) {
+        if (slots.empty()) return;
+        u64 key = (u64)(pos + 1) << 32;
+        for (size_t h = hash_pos(pos) & mask;; h = (h + 1) & mask) {
+            u64 v = slots[h];
+            if (v == 0) return;
+            if (v != 1 && (v & 0xFFFFFFFF00000000ULL) == key) {
+                slots[h] = 1;
+                --live;
+                ++tombs;
+                if (tombs > slots.size() / 4) rehash(live);
+                return;
+            }
+        }
+    }
+    void rehash(size_t want) {
+        std::vector<u64> old;
+        old.swap(slots);
+        init(want + 1);
+        for (size_t i = 0; i < old.size(); i++) {
+            u64 v = old[i];
+            if (v <= 1) continue;
+            i64 pos = (i64)(v >> 32) - 1;
+            size_t h = hash_pos(pos) & mask;
+            while (slots[h] != 0) h = (h + 1) & mask;
+            slots[h] = v;
+            ++live;
+        }
+    }
+};
+
 struct MarkBits {
     std::vector<u64> w;  // bit per position
     i64 n;
@@ -315,7 +393,7 @@ struct Engine {
     // bifurcation store: per (strand, chr) position -> node index
     // (int32: node count is bounded by instances + collapse re-adds,
     // far under 2^31; halves the delta-splice memmoves)
-    std::vector<std::vector<int32_t> > bif_at[2];
+    std::vector<PosMap> bif_at[2];  // per (strand, chr) pos -> node idx
     std::vector<MarkBits> mark_bits[2];  // mark presence per (strand, chr)
     std::vector<int8_t> node_strand;
     std::vector<int32_t> node_chr;
@@ -366,25 +444,25 @@ struct Engine {
     }
 
     i64 get_node_at(int strand, int c, i64 pos) const {
-        return (i64)bif_at[strand][c][pos];
+        return bif_at[strand][c].find(pos);
     }
     i64 get_bif(int strand, int c, i64 pos) const {
-        int32_t idx = bif_at[strand][c][pos];
-        return idx < 0 ? NO_BIF : node_bif[idx];
+        i64 idx = bif_at[strand][c].find(pos);
+        return idx < 0 ? NO_BIF : (i64)node_bif[idx];
     }
     size_t count_bifurcations(i64 bif) const {
         return (size_t)(list_cnt[0][bif] + list_cnt[1][bif]);
     }
     void add_point(int strand, int c, i64 pos, i64 bif) {
         if (bif == NO_BIF) return;
-        if (bif_at[strand][c][pos] >= 0) return;
+        if (bif_at[strand][c].find(pos) >= 0) return;
         i64 idx = (i64)node_strand.size();
         node_strand.push_back((int8_t)strand);
         node_chr.push_back(c);
         node_pos.push_back(pos);
         node_bif.push_back(bif);
         nodes_of_chr[c].push_back(idx);
-        bif_at[strand][c][pos] = (int32_t)idx;
+        bif_at[strand][c].insert(pos, idx);
         mark_bits[strand][c].set(pos);
         node_next.push_back(list_head[strand][bif]);
         list_head[strand][bif] = idx;
@@ -395,10 +473,10 @@ struct Engine {
         }
     }
     void erase_point(int strand, int c, i64 pos) {
-        i64 idx = (i64)bif_at[strand][c][pos];
+        i64 idx = bif_at[strand][c].find(pos);
         if (idx < 0) return;
         i64 bif = node_bif[idx];
-        bif_at[strand][c][pos] = -1;
+        bif_at[strand][c].erase(pos);
         mark_bits[strand][c].clear(pos);
         node_bif[idx] = NO_BIF;
         to_clear.push_back(std::make_pair(std::make_pair(strand, bif), idx));
@@ -421,33 +499,34 @@ struct Engine {
         to_clear.clear();
     }
     void apply_splice(int c, i64 start, i64 stop, i64 new_len) {
+        // The collapse protocol has already erased every mark in the
+        // span (entries AND bits), so for delta == 0 there is nothing
+        // to do; for delta != 0 the bits shift and the maps rebuild
+        // from the rebased node positions in the same O(nodes) sweep —
+        // no dense-array memmove of the chromosome tail.
         i64 delta = new_len - (stop - start);
-        for (int strand = 0; strand < 2; strand++) {
-            std::vector<int32_t>& arr = bif_at[strand][c];
-            if (delta == 0) {
-                // collapse protocol already erased every mark in the span
-                // (bits too), so the bitmap needs no update here
-                std::fill(arr.begin() + start, arr.begin() + stop,
-                          (int32_t)-1);
-            } else if (delta < 0) {
-                arr.erase(arr.begin() + start + new_len, arr.begin() + stop);
-                std::fill(arr.begin() + start, arr.begin() + start + new_len,
-                          (int32_t)-1);
-            } else {
-                arr.insert(arr.begin() + stop, (size_t)delta, (int32_t)-1);
-                std::fill(arr.begin() + start, arr.begin() + start + new_len,
-                          (int32_t)-1);
-            }
-            if (delta != 0) mark_bits[strand][c].splice(start, stop, new_len);
+        if (delta == 0) return;
+        for (int strand = 0; strand < 2; strand++)
+            mark_bits[strand][c].splice(start, stop, new_len);
+        const std::vector<int32_t>& idxs = nodes_of_chr[c];
+        for (size_t i = 0; i < idxs.size(); i++) {
+            i64 idx = idxs[i];
+            if (node_pos[idx] >= stop) node_pos[idx] += delta;
         }
-        if (delta != 0) {
-            const std::vector<int32_t>& idxs = nodes_of_chr[c];
-            for (size_t i = 0; i < idxs.size(); i++) {
-                i64 idx = idxs[i];
-                if (node_pos[idx] >= stop) node_pos[idx] += delta;
-            }
-            if (tracking) delta_epoch[(size_t)c] = apply_step;
+        size_t live0 = 0, live1 = 0;
+        for (size_t i = 0; i < idxs.size(); i++) {
+            i64 idx = idxs[i];
+            if ((i64)node_bif[idx] == NO_BIF) continue;
+            if (node_strand[idx] == 0) ++live0; else ++live1;
         }
+        bif_at[0][c].init(live0 + 1);
+        bif_at[1][c].init(live1 + 1);
+        for (size_t i = 0; i < idxs.size(); i++) {
+            i64 idx = idxs[i];
+            if ((i64)node_bif[idx] == NO_BIF) continue;
+            bif_at[node_strand[idx]][c].insert(node_pos[idx], idx);
+        }
+        if (tracking) delta_epoch[(size_t)c] = apply_step;
     }
 };
 
@@ -471,10 +550,10 @@ void mark_walk_neighbors(Engine& e, i64 k, int c, i64 span_start, i64 sd) {
         if (wlo < 0) wlo = 0;
         if (whi > len - 1) whi = len - 1;
         const MarkBits& bits = e.mark_bits[strand][c];
-        const std::vector<int32_t>& arr = e.bif_at[strand][c];
+        const PosMap& arr = e.bif_at[strand][c];
         for (i64 p = bits.next_set(wlo); p >= 0 && p <= whi;
              p = bits.next_set(p + 1)) {
-            e.flag_id(e.node_bif[arr[p]]);
+            e.flag_id(e.node_bif[arr.find(p)]);
         }
     }
 }
@@ -495,20 +574,20 @@ struct Mark { i64 step; i64 node; };
 void scan_forward(const Engine& e, int strand, int c, i64 pos, i64 max_steps,
                   std::vector<Mark>& out) {
     out.clear();
-    const std::vector<int32_t>& arr = e.bif_at[strand][c];
+    const PosMap& arr = e.bif_at[strand][c];
     const MarkBits& bits = e.mark_bits[strand][c];
     if (strand == 0) {
-        i64 hi = std::min(pos + max_steps, (i64)arr.size());
+        i64 hi = std::min(pos + max_steps, (i64)e.chars[c].size());
         for (i64 p = bits.next_set(pos + 1); p >= 0 && p < hi;
              p = bits.next_set(p + 1)) {
-            Mark m = {p - pos, arr[p]};
+            Mark m = {p - pos, arr.find(p)};
             out.push_back(m);
         }
     } else {
         i64 lo = std::max(pos - max_steps + 1, (i64)0);
         for (i64 p = bits.prev_set(pos - 1); p >= lo;
              p = bits.prev_set(p - 1)) {
-            Mark m = {pos - p, arr[p]};
+            Mark m = {pos - p, arr.find(p)};
             out.push_back(m);
         }
     }
@@ -811,10 +890,10 @@ void collect_footprint(const Engine& e, i64 k, i64 mb,
         if (lo < 0) lo = 0;
         if (hi > len - 1) hi = len - 1;
         const MarkBits& bits = e.mark_bits[strand][c];
-        const std::vector<int32_t>& arr = e.bif_at[strand][c];
+        const PosMap& arr = e.bif_at[strand][c];
         for (i64 p = bits.next_set(lo); p >= 0 && p <= hi;
              p = bits.next_set(p + 1)) {
-            i64 b = e.node_bif[arr[p]];
+            i64 b = e.node_bif[arr.find(p)];
             if (b != NO_BIF) out.iset.push_back(b);
         }
     }
@@ -1141,8 +1220,7 @@ void* engine_create(int n_chr, const i64* chr_lens,
         e->chars[c].assign(chars[c], chars[c] + chr_lens[c]);
         e->origpos[c].assign(origpos[c], origpos[c] + chr_lens[c]);
         for (int s = 0; s < 2; s++) {
-            e->bif_at[s].push_back(
-                std::vector<int32_t>((size_t)chr_lens[c], -1));
+            e->bif_at[s].push_back(PosMap());
             e->mark_bits[s].push_back(MarkBits());
             e->mark_bits[s].back().init(chr_lens[c]);
         }
@@ -1183,7 +1261,7 @@ void engine_set_bifs(void* handle, i64 max_id,
             e->node_pos.push_back(coords[s][i]);
             e->node_bif.push_back(bifs[s][i]);
             e->nodes_of_chr[chrs[s][i]].push_back(idx);
-            e->bif_at[s][chrs[s][i]][coords[s][i]] = (int32_t)idx;
+            e->bif_at[s][chrs[s][i]].insert(coords[s][i], idx);
             e->mark_bits[s][chrs[s][i]].set(coords[s][i]);
             e->node_next.push_back(e->list_head[s][bifs[s][i]]);
             e->list_head[s][bifs[s][i]] = idx;
