@@ -84,10 +84,14 @@ class BlockFinder:
         edges = list_edges(seq, store, k)
         if progress is not None:
             progress(0, 0)
-            progress(50, 2)
         out.write("digraph G\n{\n")
         out.write("rankdir=LR\n")
-        for e in edges:
+        # pace the 50-dot bar over the edge list, as the reference's
+        # PutProgressChr does over its serialization work
+        n_edges = len(edges)
+        for i, e in enumerate(edges):
+            if progress is not None and n_edges:
+                progress((i + 1) * 50 // n_edges, 1)
             color = "blue" if e.direction == 0 else "red"
             out.write(
                 f"{e.start_vertex} -> {e.end_vertex} "
@@ -95,6 +99,8 @@ class BlockFinder:
                 f"len={e.actual_length} orpos={e.original_position} "
                 f"orlen={e.original_length}  ch='{chr(e.first_char)}'\"];\n")
         out.write("}\n")
+        if progress is not None:
+            progress(50, 2)
 
 
 # ---------------------------------------------------------------------------

@@ -4,7 +4,11 @@ Full flag surface of the reference CLI (reference: src/sibelia.cpp:43-368):
 -s/-k presets or stage file, -m min block size, -i max iterations, --lastk,
 -a shared only, -q sequences, -g graph, -v hierarchy, --gff, --allstages,
 --nopostprocess, --correctboundaries, --noblocks, -o outdir, -t tempdir,
--r inram (accepted; this implementation never writes temp files).
+-r inram.  Like the reference, -t names where external-memory state
+lives: when the estimated in-RAM peak exceeds available memory (or
+SIBELIA_TPU_EXTMEM=1 forces it), the native ranking arenas back onto
+unlinked temp files under a spill dir created in -t; -r forces the
+all-in-RAM path (reference: src/sibelia.cpp:158-162,239).
 """
 from __future__ import annotations
 

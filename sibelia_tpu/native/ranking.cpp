@@ -1246,9 +1246,9 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
         if (e && e[0]) {
           mb = std::strtoll(e, nullptr, 10);
         } else {
-          // default: a sixth of MemAvailable (each range costs a full
+          // default: an eighth of MemAvailable (each range costs a full
           // sequential re-stream of rank+ha+hb+next_sep, so small
-          // budgets multiply resolve wall-clock), clamped to [2, 16] GB
+          // budgets multiply resolve wall-clock), clamped to [2, 8] GB
           int64_t avail_kb = 0;
           if (FILE* f = std::fopen("/proc/meminfo", "r")) {
             char line[256];
@@ -1274,16 +1274,20 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
         // (random scatter into file-backed pages would churn writeback)
         prep_a.no_spill = prep_b.no_spill = true;
         prep_v.no_spill = prep_cur.no_spill = true;
-        prep_a.resize((size_t)range_rows);
-        prep_b.resize((size_t)range_rows);
-        prep_v.resize((size_t)range_rows);
-        prep_cur.resize((size_t)range_rows);
       }
       int64_t rlo = 0;
       while (rlo < n) {
       int64_t rhi = rlo + range_rows < n ? rlo + range_rows : n;
       while (rhi < n && !gflag[rhi]) ++rhi;
       if (use_prep) {
+        // size to the ACTUAL range: the boundary extension above can
+        // push rhi past rlo + range_rows by a whole rank group, so the
+        // buffers must be (re)sized after rhi is known (resize is
+        // grow-only and contents are refilled per range)
+        prep_a.resize((size_t)(rhi - rlo));
+        prep_b.resize((size_t)(rhi - rlo));
+        prep_v.resize((size_t)(rhi - rlo));
+        prep_cur.resize((size_t)(rhi - rlo));
         std::memset(prep_cur.data(), 0,
                     (size_t)(rhi - rlo) * sizeof(uint32_t));
         // serial ascending stream keeps members in position order
@@ -2070,6 +2074,7 @@ void* enum_run(const uint8_t* codes, int64_t n, const int64_t* block_starts,
     // chunks are position-ordered per strand-half, so sizes split
     // roughly evenly; reserve the upper bound once per strand
     strand_insts[0].reserve(total_sel);
+    strand_insts[1].reserve(total_sel);
   }
   for (int t = 0; t < TS; ++t) {
     uint32_t off = (uint32_t)id_off[(size_t)t];

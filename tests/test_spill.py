@@ -72,6 +72,55 @@ def test_spill_mode_byte_parity(tmp_path):
     assert base == multirange
 
 
+_REPEAT_SCRIPT = """
+import hashlib, sys
+import numpy as np
+sys.path.insert(0, %r)
+from sibelia_tpu.index.ranking import encode
+from sibelia_tpu.native import kmer_ranks_native
+
+# Low-complexity input: a ~1.2 Mbp period-4 repeat makes single rank
+# groups of ~300k identical 40-mers — larger than the prep buffers'
+# 2 MB-rounded capacity at the BUDGET_MB=0 range floor (4096 rows ->
+# 262144 u64 slots) — so a group straddling a resolve range boundary
+# forces the boundary extension far past range_rows (regression:
+# prep buffers sized to range_rows overflowed).
+rng = np.random.default_rng(7)
+tail = "".join("ACGT"[c] for c in rng.integers(0, 4, 5000))
+s = "#" + "ACGT" * 300000 + tail + "#"
+codes = encode(s)
+rank, order = kmer_ranks_native(codes, 40)
+h = hashlib.sha256()
+h.update(np.ascontiguousarray(rank).tobytes())
+h.update(np.ascontiguousarray(order).tobytes())
+print("HASH", h.hexdigest())
+"""
+
+
+def _run_repeat(extra_env, tmp):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.update(extra_env)
+    r = subprocess.run([sys.executable, "-c", _REPEAT_SCRIPT % REPO_ROOT],
+                       env=env, capture_output=True, text=True,
+                       timeout=600, cwd=str(tmp))
+    assert r.returncode == 0, r.stderr[-2000:]
+    return r.stdout.strip().splitlines()[-1]
+
+
+def test_spill_resolve_oversized_rank_group(tmp_path):
+    """A rank group larger than the resolve range and straddling its
+    boundary must not overflow the prep buffers (ADVICE r4 high:
+    native/ranking.cpp prep sizing vs boundary extension)."""
+    if load_ranking() is None:
+        pytest.skip("native ranking unavailable")
+    base = _run_repeat({}, tmp_path)
+    spill = _run_repeat({"SIBELIA_TPU_SPILL_DIR": str(tmp_path),
+                         "SIBELIA_TPU_SPILL_MIN": "0",
+                         "SIBELIA_TPU_SPILL_BUDGET_MB": "0"}, tmp_path)
+    assert base == spill
+
+
 def test_spill_files_are_unlinked(tmp_path):
     """Spill temp files must be unlinked at creation (no disk litter)."""
     if load_ranking() is None:
