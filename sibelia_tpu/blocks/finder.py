@@ -38,6 +38,7 @@ class BlockFinder:
         """Reference: blockfinder.cpp:78-98. Uses the native C++ engine
         when available (sibelia_tpu/native), else the Python engine —
         both produce identical results (tests/test_native_engine.py)."""
+        from ..core import timings
         from ..graph import simplify as simplify_mod
         from ..graph.indexed import randomize_and_enumerate, store_from_enum
         from ..native import simplify_native
@@ -46,13 +47,16 @@ class BlockFinder:
         # the native engine's buffer release (simplify_native) actually
         # frees them — they are rebound from seq below either way
         self.raw_seq = self.original_pos = None
-        enum = randomize_and_enumerate(seq, k, self.rand, min_branch)
+        with timings.phase("enumeration"):
+            enum = randomize_and_enumerate(seq, k, self.rand, min_branch)
         ret = None
         check = os.environ.get("SIBELIA_TPU_CHECK") == "1"
         if simplify_mod.TRACE is None and not check:
-            ret = simplify_native(seq, enum, k, min_branch, max_iterations,
-                                  candidates=enum.candidates,
-                                  release_enum=True, progress=progress)
+            with timings.phase("simplification"):
+                ret = simplify_native(seq, enum, k, min_branch,
+                                      max_iterations,
+                                      candidates=enum.candidates,
+                                      release_enum=True, progress=progress)
         if ret is None:
             store = store_from_enum(seq, enum)
             checker = None
@@ -71,10 +75,12 @@ class BlockFinder:
     def generate_synteny_blocks(self, k: int, trim_k: int, min_size: int,
                                 shared_only: bool = False,
                                 progress=None) -> list[BlockInstance]:
-        return generate_synteny_blocks(
-            self.chr_list, self.raw_seq, self.original_pos, self.original_size,
-            k, trim_k, min_size, shared_only, self.rand, list_edges,
-            progress=progress)
+        from ..core import timings
+        with timings.phase("block_generation"):
+            return generate_synteny_blocks(
+                self.chr_list, self.raw_seq, self.original_pos,
+                self.original_size, k, trim_k, min_size, shared_only,
+                self.rand, list_edges, progress=progress)
 
     def serialize_condensed_graph(self, k: int, out, progress=None) -> None:
         """Reference: serialization.cpp:88-110 (dot format); progress =

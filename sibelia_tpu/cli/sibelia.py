@@ -200,29 +200,31 @@ def run(argv: list[str]) -> int:
                 improve_block_boundaries(history[-1], reference_chr_id,
                                          args.minblocksize)
 
-            if args.allstages:
-                for i, blocks in enumerate(history):
-                    coords_writer(blocks, chr_list,
-                                  os.path.join(out, f"blocks_coords{i}{ext}"))
-            else:
-                coords_writer(history[-1], chr_list,
-                              os.path.join(out, f"blocks_coords{ext}"))
+            from ..core import timings as _timings
+            with _timings.phase("writers"):
+                if args.allstages:
+                    for i, blocks in enumerate(history):
+                        coords_writer(blocks, chr_list,
+                                      os.path.join(out, f"blocks_coords{i}{ext}"))
+                else:
+                    coords_writer(history[-1], chr_list,
+                                  os.path.join(out, f"blocks_coords{ext}"))
 
-            writers.list_chromosomes_as_permutations(
-                history[-1], chr_list, os.path.join(out, "genomes_permutations.txt"))
-            writers.generate_report(
-                history[-1], chr_list, os.path.join(out, "coverage_report.txt"))
-            if args.sequencesfile:
-                writers.list_blocks_sequences(
-                    history[-1], chr_list, os.path.join(out, "blocks_sequences.fasta"))
-            writers.generate_d3_output(
-                history[-1], chr_list, os.path.join(out, "d3_blocks_diagram.html"))
-            circos_dir = os.path.join(out, "circos")
-            circos_file = os.path.join(circos_dir, "circos.conf")
-            if not args.visualize:
-                writers.generate_circos_output(history[-1], chr_list, circos_file, circos_dir)
-            else:
-                writers.generate_hierarchy_circos_output(history, chr_list, circos_file, circos_dir)
+                writers.list_chromosomes_as_permutations(
+                    history[-1], chr_list, os.path.join(out, "genomes_permutations.txt"))
+                writers.generate_report(
+                    history[-1], chr_list, os.path.join(out, "coverage_report.txt"))
+                if args.sequencesfile:
+                    writers.list_blocks_sequences(
+                        history[-1], chr_list, os.path.join(out, "blocks_sequences.fasta"))
+                writers.generate_d3_output(
+                    history[-1], chr_list, os.path.join(out, "d3_blocks_diagram.html"))
+                circos_dir = os.path.join(out, "circos")
+                circos_file = os.path.join(circos_dir, "circos.conf")
+                if not args.visualize:
+                    writers.generate_circos_output(history[-1], chr_list, circos_file, circos_dir)
+                else:
+                    writers.generate_hierarchy_circos_output(history, chr_list, circos_file, circos_dir)
 
         if args.graphfile:
             suffix = f"{len(stage)}" if args.allstages else ""
@@ -235,6 +237,15 @@ def run(argv: list[str]) -> int:
     finally:
         if prof_ctx is not None:
             prof_ctx.__exit__(None, None, None)
+        # SIBELIA_TPU_TIMINGS=<path>: dump the per-phase wall-clock split
+        # (enumeration / simplification / block_generation / writers)
+        tpath = os.environ.get("SIBELIA_TPU_TIMINGS")
+        if tpath:
+            from ..core import timings as _timings
+            try:
+                _timings.dump(tpath)
+            except OSError:
+                pass
         # spill files are unlinked at creation; only the dir remains
         if _spill_dir_created:
             try:

@@ -66,7 +66,8 @@ inline u64 mix64(u64 key) {
 struct SweepStats {
     double detect_ms = 0, pairs_ms = 0, collapse_ms = 0, cleanup_ms = 0;
     double erase_ms = 0, replace_ms = 0, update_ms = 0, walk_ms = 0;
-    i64 n_ids = 0, n_collapse = 0, n_delta = 0;
+    double vec_ms = 0, bits_ms = 0, map_ms = 0, interp_ms = 0;
+    i64 n_ids = 0, n_collapse = 0, n_delta = 0, n_swept = 0;
     void reset() { *this = SweepStats(); }
 };
 thread_local SweepStats g_sweep_stats;  // per-thread (wave detection)
@@ -208,81 +209,112 @@ struct Boost154Map {
 // marks are sparse — the bitmap turns detection into a sparse iteration.
 // ---------------------------------------------------------------------------
 
-// position -> node-index map per (strand, chromosome): open addressing,
-// linear probing, slot = (pos+1)<<32 | idx (0 = empty, 1 = tombstone).
-// Replaces the former dense int32-per-position bif_at tables: memory is
-// per NODE (16 B) instead of per position (4 B/pos/strand — 8.6 GB at
-// the 1 GB input scale), and a length-changing splice rebuilds the
-// chromosome's map in O(nodes) during the node_pos rebase sweep instead
-// of memmoving the dense tail in O(chromosome length).  Occupancy
-// iteration stays on the MarkBits bitmaps (maintained in lockstep, as
-// before).
-struct PosMap {
-    std::vector<u64> slots;
-    size_t mask = 0;
-    size_t live = 0, tombs = 0;
+// position -> node-index map per (strand, chromosome), PAGED: one small
+// open-addressing table per 4096-position page, slot = (rel+1)<<32 | idx
+// (rel = pos within page; 0 = empty, 1 = tombstone).  Two properties the
+// former chromosome-global table lacked:
+//   * a length-changing splice rebuilds only the pages at/after the
+//     span — a sequential scan of the (already-spliced) mark bits
+//     streams (new_pos -> old_pos -> idx) through cache-resident page
+//     tables, instead of a ~500k-entry global rehash per splice (which
+//     dominated the stage-1 sweep);
+//   * branch walks probe positions in ascending order, so consecutive
+//     find()s hit the same (L1-resident) page table instead of random
+//     slots of a multi-MB global one.
+// Memory stays per NODE (the dense int32-per-position tables this
+// design replaced were 4 B/pos/strand — 8.6 GB at the 1 GB cap).
+// Occupancy iteration stays on the MarkBits bitmaps.
+const int kPageShift = 12;
+const i64 kPageW = (i64)1 << kPageShift;
 
-    static inline size_t hash_pos(i64 pos) {
-        return (size_t)((u64)(pos + 1) * 2654435761u);
+struct PosPage {
+    std::vector<u64> t;
+    uint32_t used = 0;  // non-empty slots (live + tombstones)
+};
+
+struct PosMap {
+    std::vector<PosPage> pages;
+
+    static inline size_t hash_rel(i64 rel) {
+        return (size_t)((u64)(rel + 1) * 2654435761u);
     }
-    void init(size_t want) {
-        size_t n = 16;
-        while (n < want * 2) n <<= 1;
-        slots.assign(n, 0);
-        mask = n - 1;
-        live = tombs = 0;
+    void reset(i64 len) {
+        pages.assign((size_t)((len + kPageW - 1) >> kPageShift),
+                     PosPage());
     }
-    i64 find(i64 pos) const {
-        if (slots.empty()) return -1;
-        u64 key = (u64)(pos + 1) << 32;
-        for (size_t h = hash_pos(pos) & mask;; h = (h + 1) & mask) {
-            u64 v = slots[h];
+    static i64 find_pages(const std::vector<PosPage>& pages, i64 pos) {
+        size_t pg = (size_t)(pos >> kPageShift);
+        if (pos < 0 || pg >= pages.size()) return -1;
+        const std::vector<u64>& t = pages[pg].t;
+        if (t.empty()) return -1;
+        size_t mask = t.size() - 1;
+        i64 rel = pos & (kPageW - 1);
+        u64 key = (u64)(rel + 1) << 32;
+        for (size_t h = hash_rel(rel) & mask;; h = (h + 1) & mask) {
+            u64 v = t[h];
             if (v == 0) return -1;
             if (v != 1 && (v & 0xFFFFFFFF00000000ULL) == key)
                 return (i64)(uint32_t)v;
         }
     }
+    i64 find(i64 pos) const { return find_pages(pages, pos); }
+    // presized, tombstone-free insert for page rebuilds
+    static void raw_insert(PosPage& p, i64 rel, i64 idx) {
+        size_t mask = p.t.size() - 1;
+        u64 key = ((u64)(rel + 1) << 32) | (u64)(uint32_t)idx;
+        size_t h = hash_rel(rel) & mask;
+        while (p.t[h] != 0) h = (h + 1) & mask;
+        p.t[h] = key;
+    }
     void insert(i64 pos, i64 idx) {
-        if (slots.empty() || (live + tombs + 1) * 10 > slots.size() * 7)
-            rehash(live + 1);
-        u64 key = ((u64)(pos + 1) << 32) | (u64)(uint32_t)idx;
-        size_t h = hash_pos(pos) & mask;
+        PosPage& p = pages[(size_t)(pos >> kPageShift)];
+        // grow/clean when fewer than 1/4 of slots would stay empty
+        if (p.t.empty() || (p.used + 1) * 4 > p.t.size() * 3) grow(p);
+        size_t mask = p.t.size() - 1;
+        i64 rel = pos & (kPageW - 1);
+        u64 key = ((u64)(rel + 1) << 32) | (u64)(uint32_t)idx;
+        size_t h = hash_rel(rel) & mask;
         for (;; h = (h + 1) & mask) {
-            u64 v = slots[h];
-            if (v == 0) break;
-            if (v == 1) { --tombs; break; }
+            u64 v = p.t[h];
+            if (v == 0) { ++p.used; break; }
+            if (v == 1) break;  // reuse tombstone; used already counts it
         }
-        slots[h] = key;
-        ++live;
+        p.t[h] = key;
     }
     void erase(i64 pos) {
-        if (slots.empty()) return;
-        u64 key = (u64)(pos + 1) << 32;
-        for (size_t h = hash_pos(pos) & mask;; h = (h + 1) & mask) {
-            u64 v = slots[h];
+        size_t pg = (size_t)(pos >> kPageShift);
+        if (pos < 0 || pg >= pages.size()) return;
+        std::vector<u64>& t = pages[pg].t;
+        if (t.empty()) return;
+        size_t mask = t.size() - 1;
+        i64 rel = pos & (kPageW - 1);
+        u64 key = (u64)(rel + 1) << 32;
+        for (size_t h = hash_rel(rel) & mask;; h = (h + 1) & mask) {
+            u64 v = t[h];
             if (v == 0) return;
             if (v != 1 && (v & 0xFFFFFFFF00000000ULL) == key) {
-                slots[h] = 1;
-                --live;
-                ++tombs;
-                if (tombs > slots.size() / 4) rehash(live);
+                t[h] = 1;  // tombstone; stays in `used` until grow()
                 return;
             }
         }
     }
-    void rehash(size_t want) {
-        std::vector<u64> old;
-        old.swap(slots);
-        init(want + 1);
-        for (size_t i = 0; i < old.size(); i++) {
-            u64 v = old[i];
+    static void grow(PosPage& p) {
+        size_t live = 0;
+        for (size_t i = 0; i < p.t.size(); i++) live += (p.t[i] > 1);
+        size_t want = 8;
+        while (want < (live + 1) * 2) want <<= 1;
+        std::vector<u64> nt(want, 0);
+        size_t mask = want - 1;
+        for (size_t i = 0; i < p.t.size(); i++) {
+            u64 v = p.t[i];
             if (v <= 1) continue;
-            i64 pos = (i64)(v >> 32) - 1;
-            size_t h = hash_pos(pos) & mask;
-            while (slots[h] != 0) h = (h + 1) & mask;
-            slots[h] = v;
-            ++live;
+            i64 rel = (i64)(v >> 32) - 1;
+            size_t h = hash_rel(rel) & mask;
+            while (nt[h] != 0) h = (h + 1) & mask;
+            nt[h] = v;
         }
+        p.t.swap(nt);
+        p.used = (uint32_t)live;
     }
 };
 
@@ -318,6 +350,18 @@ struct MarkBits {
             word = w[--wi];
         }
         return ((i64)wi << 6) + 63 - __builtin_clzll(word);
+    }
+    // set bits in [p0, p1), counted word-aligned (p0 word-aligned by the
+    // callers; p1 may be the array end)
+    i64 count_range(i64 p0, i64 p1) const {
+        if (p1 > n) p1 = n;
+        if (p0 >= p1) return 0;
+        size_t w0 = (size_t)(p0 >> 6);
+        size_t w1 = (size_t)((p1 + 63) >> 6);
+        if (w1 > w.size()) w1 = w.size();
+        i64 c = 0;
+        for (size_t i = w0; i < w1; i++) c += __builtin_popcountll(w[i]);
+        return c;
     }
     // splice [start, stop) -> new_len positions: clear the span, then
     // shift bits at >= stop by (new_len - (stop - start)).  Word-level
@@ -399,10 +443,16 @@ struct Engine {
     std::vector<int32_t> node_chr;
     std::vector<int32_t> node_pos;   // chromosome positions fit int32 (1 GB cap)
     std::vector<uint32_t> node_bif;  // ids < 2^32; NO_BIF == 0xFFFFFFFF fits
-    // per-chromosome node index so length-changing splices shift only the
-    // affected chromosome's nodes (the reference's linked list pays nothing
-    // here; our flat arrays pay O(nodes of chr) only on delta != 0)
-    std::vector<std::vector<int32_t> > nodes_of_chr;
+    // Dead node slots are recycled (cleanup() frees an unlinked slot,
+    // add_point pops).  Without reuse the node arrays grow by ~2(k+sd)
+    // entries per collapse — ~50M slots on a 32 MB 16-strain stage-1
+    // sweep — an unbounded footprint and cold caches for every indexed
+    // read.  Reuse is invisible to the wave cache: a cached detection
+    // references a node only via start_nodes, every member of which has
+    // node_bif == that detection's id, so erasing it (the only way a
+    // slot reaches the free list) flags the id and invalidates the
+    // cache before the slot can be recycled.
+    std::vector<int32_t> free_nodes;
     i64 max_id;
     // per-(strand, bifId) point lists: intrusive singly-linked lists over
     // node indices (front-insert == the reference's slist push_front,
@@ -456,15 +506,25 @@ struct Engine {
     void add_point(int strand, int c, i64 pos, i64 bif) {
         if (bif == NO_BIF) return;
         if (bif_at[strand][c].find(pos) >= 0) return;
-        i64 idx = (i64)node_strand.size();
-        node_strand.push_back((int8_t)strand);
-        node_chr.push_back(c);
-        node_pos.push_back(pos);
-        node_bif.push_back(bif);
-        nodes_of_chr[c].push_back(idx);
+        i64 idx;
+        if (!free_nodes.empty()) {
+            idx = (i64)free_nodes.back();
+            free_nodes.pop_back();
+            node_strand[idx] = (int8_t)strand;
+            node_chr[idx] = c;
+            node_pos[idx] = pos;
+            node_bif[idx] = bif;
+            node_next[idx] = list_head[strand][bif];
+        } else {
+            idx = (i64)node_strand.size();
+            node_strand.push_back((int8_t)strand);
+            node_chr.push_back(c);
+            node_pos.push_back(pos);
+            node_bif.push_back(bif);
+            node_next.push_back(list_head[strand][bif]);
+        }
         bif_at[strand][c].insert(pos, idx);
         mark_bits[strand][c].set(pos);
-        node_next.push_back(list_head[strand][bif]);
         list_head[strand][bif] = idx;
         list_cnt[strand][bif]++;
         if (tracking) {
@@ -494,6 +554,7 @@ struct Engine {
                 *link = node_next[idx];
                 list_cnt[strand][bif]--;
                 if (tracking) count_epoch[(size_t)bif] = apply_step;
+                free_nodes.push_back((int32_t)idx);  // slot recycled
             }
         }
         to_clear.clear();
@@ -501,30 +562,57 @@ struct Engine {
     void apply_splice(int c, i64 start, i64 stop, i64 new_len) {
         // The collapse protocol has already erased every mark in the
         // span (entries AND bits), so for delta == 0 there is nothing
-        // to do; for delta != 0 the bits shift and the maps rebuild
-        // from the rebased node positions in the same O(nodes) sweep —
-        // no dense-array memmove of the chromosome tail.
+        // to do; for delta != 0 the bits shift (word-level) and only
+        // the map pages at/after the span rebuild: a sequential scan
+        // of the spliced bits streams (new_pos -> old_pos -> idx)
+        // through cache-resident page tables, rebasing node_pos as it
+        // goes.  Head pages are untouched; work is O(marks at/after
+        // the span), not O(live nodes of the chromosome).
         i64 delta = new_len - (stop - start);
         if (delta == 0) return;
-        for (int strand = 0; strand < 2; strand++)
-            mark_bits[strand][c].splice(start, stop, new_len);
-        const std::vector<int32_t>& idxs = nodes_of_chr[c];
-        for (size_t i = 0; i < idxs.size(); i++) {
-            i64 idx = idxs[i];
-            if (node_pos[idx] >= stop) node_pos[idx] += delta;
+        {
+            Acc _a_bits(&g_sweep_stats.bits_ms);
+            for (int strand = 0; strand < 2; strand++)
+                mark_bits[strand][c].splice(start, stop, new_len);
         }
-        size_t live0 = 0, live1 = 0;
-        for (size_t i = 0; i < idxs.size(); i++) {
-            i64 idx = idxs[i];
-            if ((i64)node_bif[idx] == NO_BIF) continue;
-            if (node_strand[idx] == 0) ++live0; else ++live1;
-        }
-        bif_at[0][c].init(live0 + 1);
-        bif_at[1][c].init(live1 + 1);
-        for (size_t i = 0; i < idxs.size(); i++) {
-            i64 idx = idxs[i];
-            if ((i64)node_bif[idx] == NO_BIF) continue;
-            bif_at[node_strand[idx]][c].insert(node_pos[idx], idx);
+        Acc _a_map(&g_sweep_stats.map_ms);
+        i64 n_new = (i64)chars[c].size();  // caller spliced chars already
+        size_t first_page = (size_t)(start >> kPageShift);
+        size_t n_pages_new = (size_t)((n_new + kPageW - 1) >> kPageShift);
+        for (int strand = 0; strand < 2; strand++) {
+            PosMap& m = bif_at[strand][c];
+            std::vector<PosPage> old_pages;
+            old_pages.swap(m.pages);
+            m.pages.resize(n_pages_new);
+            size_t keep = first_page;
+            if (keep > old_pages.size()) keep = old_pages.size();
+            if (keep > n_pages_new) keep = n_pages_new;
+            for (size_t pg = 0; pg < keep; pg++)
+                m.pages[pg] = std::move(old_pages[pg]);
+            const MarkBits& bits = mark_bits[strand][c];
+            for (size_t pg = keep; pg < n_pages_new; pg++) {
+                i64 base = (i64)pg << kPageShift;
+                i64 end = base + kPageW;
+                if (end > n_new) end = n_new;
+                i64 cnt = bits.count_range(base, end);
+                if (cnt == 0) continue;
+                g_sweep_stats.n_swept += cnt;
+                PosPage& np = m.pages[pg];
+                size_t want = 8;
+                while ((i64)want < cnt * 2) want <<= 1;
+                np.t.assign(want, 0);
+                np.used = (uint32_t)cnt;
+                for (i64 p = bits.next_set(base); p >= 0 && p < end;
+                     p = bits.next_set(p + 1)) {
+                    // marks below the span keep their position; marks
+                    // past it map back by -delta (the span itself has
+                    // no marks: the collapse protocol erased them)
+                    i64 old = p < start ? p : p - delta;
+                    i64 idx = PosMap::find_pages(old_pages, old);
+                    node_pos[idx] = (int32_t)p;
+                    PosMap::raw_insert(np, p & (kPageW - 1), idx);
+                }
+            }
         }
         if (tracking) delta_epoch[(size_t)c] = apply_step;
     }
@@ -695,6 +783,7 @@ void collapse_bulge(Engine& e, i64 k, i64 src_idx, i64 src_dist,
                        ? e.sep_origpos[c_t]
                        : (i64)e.origpos[c_t][span_start + td];
     {
+        Acc _a_vec(&g_sweep_stats.vec_ms);
         std::vector<uint8_t>& ch = e.chars[c_t];
         std::vector<int32_t>& op = e.origpos[c_t];
         i64 delta = sd - td;
@@ -712,6 +801,7 @@ void collapse_bulge(Engine& e, i64 k, i64 src_idx, i64 src_dist,
     }
     e.apply_splice(c_t, span_start, span_stop, sd);
     {
+        Acc _a_int(&g_sweep_stats.interp_ms);
         double acc = (double)first_pos;
         double ssize = (double)td / (double)sd;
         std::vector<int32_t>& op = e.origpos[c_t];
@@ -1214,13 +1304,13 @@ void* engine_create(int n_chr, const i64* chr_lens,
     e->n_chr = n_chr;
     e->chars.resize(n_chr);
     e->origpos.resize(n_chr);
-    e->nodes_of_chr.resize(n_chr);
     e->sep_origpos.assign(sep_origpos, sep_origpos + n_chr);
     for (int c = 0; c < n_chr; c++) {
         e->chars[c].assign(chars[c], chars[c] + chr_lens[c]);
         e->origpos[c].assign(origpos[c], origpos[c] + chr_lens[c]);
         for (int s = 0; s < 2; s++) {
             e->bif_at[s].push_back(PosMap());
+            e->bif_at[s].back().reset(chr_lens[c]);
             e->mark_bits[s].push_back(MarkBits());
             e->mark_bits[s].back().init(chr_lens[c]);
         }
@@ -1248,7 +1338,7 @@ void engine_set_bifs(void* handle, i64 max_id,
     e->node_pos.clear();
     e->node_bif.clear();
     e->node_next.clear();
-    for (size_t c = 0; c < e->nodes_of_chr.size(); c++) e->nodes_of_chr[c].clear();
+    e->free_nodes.clear();
     const int32_t* chrs[2] = {chr0, chr1};
     const i64* coords[2] = {coord0, coord1};
     const i64* bifs[2] = {bif0, bif1};
@@ -1260,7 +1350,6 @@ void engine_set_bifs(void* handle, i64 max_id,
             e->node_chr.push_back(chrs[s][i]);
             e->node_pos.push_back(coords[s][i]);
             e->node_bif.push_back(bifs[s][i]);
-            e->nodes_of_chr[chrs[s][i]].push_back(idx);
             e->bif_at[s][chrs[s][i]].insert(coords[s][i], idx);
             e->mark_bits[s][chrs[s][i]].set(coords[s][i]);
             e->node_next.push_back(e->list_head[s][bifs[s][i]]);
@@ -1397,12 +1486,16 @@ i64 engine_simplify_sparse(void* handle, i64 k, i64 min_branch,
                          "[prof2] sweep iter=%lld ids=%lld col=%lld"
                          " delta=%lld total=%.0fms pairs=%.0fms"
                          " collapse=%.0fms cleanup=%.0fms"
-                         " erase=%.0f repl=%.0f upd=%.0f walk=%.0f\n",
+                         " erase=%.0f repl=%.0f upd=%.0f walk=%.0f"
+                         " vec=%.0f bits=%.0f map=%.0f interp=%.0f"
+                         " swept=%lld\n",
                          (long long)iterations, (long long)s.n_ids,
                          (long long)s.n_collapse, (long long)s.n_delta,
                          s.detect_ms, s.pairs_ms,
                          s.collapse_ms, s.cleanup_ms,
-                         s.erase_ms, s.replace_ms, s.update_ms, s.walk_ms);
+                         s.erase_ms, s.replace_ms, s.update_ms, s.walk_ms,
+                         s.vec_ms, s.bits_ms, s.map_ms, s.interp_ms,
+                         (long long)s.n_swept);
             s.reset();
         }
         if (e->progress_fn)
