@@ -114,7 +114,9 @@ def simplify_native(seq, enum, k: int, min_branch: int,
     op_ptrs = (ctypes.c_void_p * n_chr)(
         *[b.ctypes.data_as(ctypes.c_void_p).value for b in op_bufs])
     sep = (ctypes.c_int64 * n_chr)(*seq.sep_origpos)
-    handle = lib.engine_create(n_chr, chr_lens, char_ptrs, op_ptrs, sep)
+    from ..core import timings
+    with timings.phase("engine_ingest"):
+        handle = lib.engine_create(n_chr, chr_lens, char_ptrs, op_ptrs, sep)
     try:
         lens = np.asarray([seq.chr_len(c) for c in range(n_chr)], dtype=np.int64)
         packed = []
@@ -133,10 +135,13 @@ def simplify_native(seq, enum, k: int, min_branch: int,
             # (at the 1 GB scale each set is ~1.3 GB)
             enum.chr = enum.pos = enum.bif_id = (None, None)
         (c0, p0, b0), (c1, p1, b1) = packed
+        _t_ing = timings.phase("engine_ingest")
+        _t_ing.__enter__()
         lib.engine_set_bifs(
             handle, enum.count,
             len(c0), c0.ctypes.data, p0.ctypes.data, b0.ctypes.data,
             len(c1), c1.ctypes.data, p1.ctypes.data, b1.ctypes.data)
+        _t_ing.__exit__(None, None, None)
         cand = None
         if candidates is not None:
             cand = np.ascontiguousarray(candidates, dtype=np.uint8)
@@ -181,22 +186,26 @@ def simplify_native(seq, enum, k: int, min_branch: int,
 
             rp_keepalive = REPREFILTER_CFUNC(_rp)
             lib.engine_set_reprefilter(handle, rp_keepalive)
-        if os.environ.get("SIBELIA_TPU_DENSE_SIMPLIFY") == "1":
-            ret = lib.engine_simplify(handle, k, min_branch, max_iterations)
-        else:
-            cand_ptr = None
-            if cand is not None:
-                cand_ptr = cand.ctypes.data
-            ret = lib.engine_simplify_sparse(
-                handle, k, min_branch, max_iterations, cand_ptr,
-                0 if candidates is None else enum.count)
-        for c in range(n_chr):
-            ln = lib.engine_chr_len(handle, c)
-            chars = np.empty(ln, dtype=np.uint8)
-            op = np.empty(ln, dtype=np.int32)
-            lib.engine_get_chr(handle, c, chars.ctypes.data, op.ctypes.data)
-            seq.chars[c] = chars
-            seq.origpos[c] = op
+        with timings.phase("engine_sweep"):
+            if os.environ.get("SIBELIA_TPU_DENSE_SIMPLIFY") == "1":
+                ret = lib.engine_simplify(handle, k, min_branch,
+                                          max_iterations)
+            else:
+                cand_ptr = None
+                if cand is not None:
+                    cand_ptr = cand.ctypes.data
+                ret = lib.engine_simplify_sparse(
+                    handle, k, min_branch, max_iterations, cand_ptr,
+                    0 if candidates is None else enum.count)
+        with timings.phase("engine_writeback"):
+            for c in range(n_chr):
+                ln = lib.engine_chr_len(handle, c)
+                chars = np.empty(ln, dtype=np.uint8)
+                op = np.empty(ln, dtype=np.int32)
+                lib.engine_get_chr(handle, c, chars.ctypes.data,
+                                   op.ctypes.data)
+                seq.chars[c] = chars
+                seq.origpos[c] = op
         return int(ret)
     finally:
         lib.engine_destroy(handle)
