@@ -90,16 +90,31 @@ def run(argv: list[str]) -> int:
         # forces it), keeping peak RSS bounded.  `-r` forces in-RAM.
         if (not args.inram and "SIBELIA_TPU_SPILL_DIR" not in os.environ
                 and os.environ.get("SIBELIA_TPU_EXTMEM") != "0"):
-            est = total * 120  # measured in-RAM peak ~120 B/input byte
+            # In-RAM peak model from the actual stage plan: the ranking
+            # arenas dominate, and the k>32 stages add the blockmix
+            # signature lanes plus the 32-level and final-level rank
+            # caches (~50 B/input byte beyond the k<=32 arena set;
+            # measured ~120 B/input byte total on multi-stage presets,
+            # docs/measured_r4.json provenance).
+            last_k = args.lastk if args.lastk is not None else \
+                min(stage[-1][0] if stage else (1 << 31), args.minblocksize)
+            any_big_k = any(k > 32 for k, _ in stage) or last_k > 32
+            est = total * (120 if any_big_k else 70)
             avail = None
-            try:
-                with open("/proc/meminfo") as f:
-                    for line in f:
-                        if line.startswith("MemAvailable"):
-                            avail = int(line.split()[1]) * 1024
-                            break
-            except OSError:
-                pass
+            # SIBELIA_TPU_MEMAVAIL_MB simulates a small host (test hook;
+            # also lets operators pin the budget below MemAvailable)
+            ov = os.environ.get("SIBELIA_TPU_MEMAVAIL_MB")
+            if ov and ov.isdigit():
+                avail = int(ov) << 20
+            else:
+                try:
+                    with open("/proc/meminfo") as f:
+                        for line in f:
+                            if line.startswith("MemAvailable"):
+                                avail = int(line.split()[1]) * 1024
+                                break
+                except OSError:
+                    pass
             force = os.environ.get("SIBELIA_TPU_EXTMEM") == "1"
             if force or (avail is not None and est > avail * 3 // 4):
                 import tempfile as _tempfile

@@ -121,12 +121,14 @@ def simplify_native(seq, enum, k: int, min_branch: int,
         lens = np.asarray([seq.chr_len(c) for c in range(n_chr)], dtype=np.int64)
         packed = []
         for strand in (0, 1):
+            # int32 coords / uint32 ids on the wire (bounded by the 1 GB
+            # cap); the staging copies are ~2 GB smaller at that scale
             chrs = enum.chr[strand].astype(np.int32)
             poss = enum.pos[strand].astype(np.int64)
-            bids = enum.bif_id[strand].astype(np.int64)
             coords = poss if strand == 0 else (lens[chrs] - 1 - poss)
+            bids = enum.bif_id[strand].astype(np.uint32)
             packed.append((np.ascontiguousarray(chrs),
-                           np.ascontiguousarray(coords),
+                           np.ascontiguousarray(coords.astype(np.int32)),
                            np.ascontiguousarray(bids)))
             del poss, coords
         if release_enum:

@@ -1319,10 +1319,15 @@ void* engine_create(int n_chr, const i64* chr_lens,
 }
 
 // instances per strand in scan order (chr asc, coord order matching the
-// reference walk); coords are positive-frame
+// reference walk); coords are positive-frame.  Coords/bifs are int32 /
+// uint32 on the wire: per-chromosome positions and ids are bounded well
+// below 2^31 by the 1 GB input cap, and the packed staging copies are
+// ~2 GB smaller at that scale for it.
 void engine_set_bifs(void* handle, i64 max_id,
-                     i64 n0, const int32_t* chr0, const i64* coord0, const i64* bif0,
-                     i64 n1, const int32_t* chr1, const i64* coord1, const i64* bif1) {
+                     i64 n0, const int32_t* chr0, const int32_t* coord0,
+                     const uint32_t* bif0,
+                     i64 n1, const int32_t* chr1, const int32_t* coord1,
+                     const uint32_t* bif1) {
     Engine* e = (Engine*)handle;
     e->max_id = max_id;
     for (int s = 0; s < 2; s++) {
@@ -1340,8 +1345,8 @@ void engine_set_bifs(void* handle, i64 max_id,
     e->node_next.clear();
     e->free_nodes.clear();
     const int32_t* chrs[2] = {chr0, chr1};
-    const i64* coords[2] = {coord0, coord1};
-    const i64* bifs[2] = {bif0, bif1};
+    const int32_t* coords[2] = {coord0, coord1};
+    const uint32_t* bifs[2] = {bif0, bif1};
     i64 counts[2] = {n0, n1};
     for (int s = 0; s < 2; s++) {
         for (i64 i = 0; i < counts[s]; i++) {

@@ -121,6 +121,52 @@ def test_spill_resolve_oversized_rank_group(tmp_path):
     assert base == spill
 
 
+def test_spill_auto_activation_on_small_host(tmp_path):
+    """A host whose available memory (simulated via
+    SIBELIA_TPU_MEMAVAIL_MB) cannot hold the stage-plan-derived in-RAM
+    estimate must pick external-memory mode through the normal CLI path
+    and complete with output identical to the in-RAM run."""
+    if load_ranking() is None:
+        pytest.skip("native ranking unavailable")
+    import numpy as np
+    rng = np.random.default_rng(11)
+    fasta = tmp_path / "g.fasta"
+    with open(fasta, "w") as f:
+        base = rng.choice(list("ACGT"), size=120000)
+        for i in range(3):
+            mut = base.copy()
+            pos = rng.integers(0, len(mut), size=400)
+            mut[pos] = rng.choice(list("ACGT"), size=400)
+            f.write(">chr%d\n%s\n" % (i, "".join(mut)))
+
+    def run_cli(outdir, extra_env):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env.update(extra_env)
+        r = subprocess.run(
+            [sys.executable, "-m", "sibelia_tpu.cli.sibelia", "-s", "fine",
+             "-m", "500", "-t", str(tmp_path), "-o", str(outdir),
+             str(fasta)],
+            env=env, capture_output=True, text=True, timeout=600,
+            cwd=REPO_ROOT)
+        assert r.returncode == 0, r.stderr[-2000:]
+        return r.stderr
+
+    out_ram = tmp_path / "out_ram"
+    out_sp = tmp_path / "out_sp"
+    run_cli(out_ram, {})
+    # ~0.36 MB input * 120 B/B ~ 43 MB estimate; 16 MB "available"
+    # forces the spill decision; SPILL_MIN=0 makes every arena eligible
+    # so the mode is actually exercised at this size
+    err = run_cli(out_sp, {"SIBELIA_TPU_MEMAVAIL_MB": "16",
+                           "SIBELIA_TPU_SPILL_MIN": "0"})
+    assert "external-memory mode" in err
+    for fn in ("blocks_coords.txt", "coverage_report.txt",
+               "genomes_permutations.txt"):
+        with open(out_ram / fn, "rb") as a, open(out_sp / fn, "rb") as b:
+            assert a.read() == b.read(), fn
+
+
 def test_spill_files_are_unlinked(tmp_path):
     """Spill temp files must be unlinked at creation (no disk litter)."""
     if load_ranking() is None:
