@@ -59,6 +59,21 @@ def run(argv: list[str]) -> int:
     args = build_arg_parser().parse_args(argv)
     prof_ctx = None
     _spill_dir_created = None
+    # Multi-host runtime (SURVEY §2e): when SIBELIA_TPU_COORD/NPROCS/
+    # PROC_ID are set, N processes form one SPMD program — the sharded
+    # enumeration spans the global ('host','chip') device mesh, the
+    # remainder runs replicated (all stages are deterministic), and only
+    # process 0 writes outputs (tests/test_multihost.py drives this).
+    _multiproc = False
+    _is_writer = True
+    if os.environ.get("SIBELIA_TPU_COORD"):
+        from ..parallel.runtime import init_distributed
+        _multiproc = init_distributed()
+        if _multiproc:
+            import jax
+            _is_writer = jax.process_index() == 0
+            os.environ.setdefault("SIBELIA_TPU_SHARDED",
+                                  str(jax.device_count()))
     try:
         if args.stagefile is not None:
             stage = read_stage_file(args.stagefile)
@@ -168,7 +183,7 @@ def run(argv: list[str]) -> int:
                         k, trim_k, k, args.sharedonly)
                     if not args.nopostprocess:
                         history[i] = glue_stripes(history[i], chr_list)
-                if args.graphfile:
+                if args.graphfile and _is_writer:
                     with open(os.path.join(args.outdir, f"de_bruijn_graph{i}.dot"), "w") as g:
                         finder.serialize_condensed_graph(
                             k, g, progress=make_progress_bar())
@@ -186,7 +201,7 @@ def run(argv: list[str]) -> int:
                 print(f"[trace] stage {i + 1}: k={k} d={d} "
                       f"{dt:.2f}s seq={n_now} {rate:.1f} Mkmers/s",
                       file=sys.stderr)
-            if ckpt_dir:
+            if ckpt_dir and _is_writer:
                 save_checkpoint(finder,
                                 os.path.join(ckpt_dir, f"stage_{i:03d}.ckpt"),
                                 i, history)
@@ -217,34 +232,41 @@ def run(argv: list[str]) -> int:
 
             from ..core import timings as _timings
             with _timings.phase("writers"):
-                if args.allstages:
-                    for i, blocks in enumerate(history):
-                        coords_writer(blocks, chr_list,
-                                      os.path.join(out, f"blocks_coords{i}{ext}"))
-                else:
-                    coords_writer(history[-1], chr_list,
-                                  os.path.join(out, f"blocks_coords{ext}"))
+              if _is_writer:
+                  if args.allstages:
+                      for i, blocks in enumerate(history):
+                          coords_writer(blocks, chr_list,
+                                        os.path.join(out, f"blocks_coords{i}{ext}"))
+                  else:
+                      coords_writer(history[-1], chr_list,
+                                    os.path.join(out, f"blocks_coords{ext}"))
 
-                writers.list_chromosomes_as_permutations(
-                    history[-1], chr_list, os.path.join(out, "genomes_permutations.txt"))
-                writers.generate_report(
-                    history[-1], chr_list, os.path.join(out, "coverage_report.txt"))
-                if args.sequencesfile:
-                    writers.list_blocks_sequences(
-                        history[-1], chr_list, os.path.join(out, "blocks_sequences.fasta"))
-                writers.generate_d3_output(
-                    history[-1], chr_list, os.path.join(out, "d3_blocks_diagram.html"))
-                circos_dir = os.path.join(out, "circos")
-                circos_file = os.path.join(circos_dir, "circos.conf")
-                if not args.visualize:
-                    writers.generate_circos_output(history[-1], chr_list, circos_file, circos_dir)
-                else:
-                    writers.generate_hierarchy_circos_output(history, chr_list, circos_file, circos_dir)
+                  writers.list_chromosomes_as_permutations(
+                      history[-1], chr_list, os.path.join(out, "genomes_permutations.txt"))
+                  writers.generate_report(
+                      history[-1], chr_list, os.path.join(out, "coverage_report.txt"))
+                  if args.sequencesfile:
+                      writers.list_blocks_sequences(
+                          history[-1], chr_list, os.path.join(out, "blocks_sequences.fasta"))
+                  writers.generate_d3_output(
+                      history[-1], chr_list, os.path.join(out, "d3_blocks_diagram.html"))
+                  circos_dir = os.path.join(out, "circos")
+                  circos_file = os.path.join(circos_dir, "circos.conf")
+                  if not args.visualize:
+                      writers.generate_circos_output(history[-1], chr_list, circos_file, circos_dir)
+                  else:
+                      writers.generate_hierarchy_circos_output(history, chr_list, circos_file, circos_dir)
 
-        if args.graphfile:
+        if args.graphfile and _is_writer:
             suffix = f"{len(stage)}" if args.allstages else ""
             with open(os.path.join(out, f"de_bruijn_graph{suffix}.dot"), "w") as g:
                 finder.serialize_condensed_graph(last_k, g)
+        if _multiproc:
+            # every process ran the same collectives; hold them all
+            # until the writer finishes so coordinator teardown cannot
+            # race an in-flight write
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("sibelia_tpu_end")
         return 0
     except RuntimeError as e:
         print(f"error: {e}", file=sys.stderr)

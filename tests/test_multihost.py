@@ -68,6 +68,65 @@ def _free_port():
     return port
 
 
+def test_two_process_full_cli(tmp_path):
+    """The COMPLETE CLI under 2 processes x 4 virtual devices: sharded
+    enumeration across the process boundary, replicated simplification
+    and block generation, process 0 writes — outputs byte-identical to
+    the single-process run (VERDICT r4 #6)."""
+    rng = np.random.default_rng(3)
+    fasta = tmp_path / "g.fasta"
+    with open(fasta, "w") as f:
+        base = rng.choice(list("ACGT"), size=60000)
+        for i in range(3):
+            mut = base.copy()
+            pos = rng.integers(0, len(mut), size=250)
+            mut[pos] = rng.choice(list("ACGT"), size=250)
+            f.write(">chr%d\n%s\n" % (i, "".join(mut)))
+
+    def base_env():
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        return env
+
+    # single-process baseline (same virtual topology on one process)
+    out_single = tmp_path / "out_single"
+    r = subprocess.run(
+        [sys.executable, "-m", "sibelia_tpu.cli.sibelia", "-s", "fine",
+         "-m", "500", "-o", str(out_single), str(fasta)],
+        env=base_env(), capture_output=True, text=True, timeout=600,
+        cwd=REPO_ROOT)
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    port = _free_port()
+    out_multi = tmp_path / "out_multi"
+    procs = []
+    for pid in range(2):
+        env = base_env()
+        env["SIBELIA_TPU_COORD"] = f"127.0.0.1:{port}"
+        env["SIBELIA_TPU_NPROCS"] = "2"
+        env["SIBELIA_TPU_PROC_ID"] = str(pid)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "sibelia_tpu.cli.sibelia", "-s",
+             "fine", "-m", "500", "-o", str(out_multi), str(fasta)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True, cwd=REPO_ROOT))
+    for p in procs:
+        try:
+            _, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, err[-3000:]
+    for fn in ("blocks_coords.txt", "coverage_report.txt",
+               "genomes_permutations.txt"):
+        with open(out_single / fn, "rb") as a, \
+                open(out_multi / fn, "rb") as b:
+            assert a.read() == b.read(), fn
+
+
 def test_two_process_cpu_mesh(tmp_path):
     port = _free_port()
     procs = []
