@@ -437,6 +437,60 @@ def _e2e_16strain():
     return out
 
 
+def _device_decomposition(dev_rate, host_e2e):
+    """Real-hardware e2e statement (VERDICT r4 #5b): run the H. pylori
+    pipeline with the device path FORCED on the CPU backend purely to
+    COUNT host<->device round-trips (SIBELIA_TPU_COUNT_SYNCS=1 — the
+    device code path is identical, only the executor differs), then
+    decompose what a real TPU host would pay: device compute at the
+    measured chained-dispatch chip rate + syncs x per-sync latency
+    (~0.2 ms locally attached, ~24 ms through this harness's tunnel —
+    docs/measured_r4.json provenance for the tunnel floor)."""
+    fasta = ("/root/reference/examples/Sibelia/Helicobacter_pylori/"
+             "Helicobacter_pylori.fasta")
+    if not os.path.exists(fasta):
+        return None
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["SIBELIA_TPU_DEVICE"] = "1"
+    env["SIBELIA_TPU_COUNT_SYNCS"] = "1"
+    env["SIBELIA_TPU_TIMINGS"] = "/tmp/bench_hp_dev_timings.json"
+    try:
+        subprocess.run([sys.executable, "-m", "sibelia_tpu.cli.sibelia",
+                        "-s", "loose", "-m", "5000", "-r", "-o",
+                        "/tmp/bench_hp_dev", fasta], cwd=_DIR, env=env,
+                       capture_output=True, timeout=900, check=True)
+        with open("/tmp/bench_hp_dev_timings.json") as f:
+            t = json.load(f)
+    except Exception:
+        return None
+    syncs = int(sum(v for k, v in t.items() if k.startswith("syncs_")))
+    kmers = float(t.get("kmers_indexed", 0))
+    out = {
+        "syncs": syncs,
+        "kmers_indexed": int(kmers),
+        "device_compute_est_s": round(kmers / dev_rate, 2)
+        if dev_rate else None,
+        "sync_overhead_local_s": round(syncs * 0.0002, 2),
+        "sync_overhead_tunneled_s": round(syncs * 0.024, 1),
+        "note": ("an untunneled v5e host pays syncs*~0.2ms dispatch "
+                 "overhead on top of device compute at the measured "
+                 "chip rate; the tunnel's ~24 ms/sync floor is why e2e "
+                 "routes host in this harness"),
+    }
+    if host_e2e and host_e2e.get("ours_s") and dev_rate:
+        split = host_e2e.get("phase_split_s") or {}
+        host_enum = float(split.get("enumeration", 0))
+        est = (host_e2e["ours_s"] - host_enum
+               + kmers / dev_rate + syncs * 0.0002)
+        out["e2e_local_device_est_s"] = round(est, 2)
+        out["e2e_tunneled_device_est_s"] = round(
+            host_e2e["ours_s"] - host_enum + kmers / dev_rate
+            + syncs * 0.024, 1)
+    return out
+
+
 def _recorded():
     """Quiet-box measurements recorded during the round (provenance in
     the file) for rows bench cannot rerun in-budget (the 1 GB
@@ -475,6 +529,9 @@ def main():
     e2e = None if fast else _e2e_hpylori()
     if e2e:
         extra["e2e_hpylori"] = e2e
+    dd = None if fast else _device_decomposition(dev_rate, e2e)
+    if dd:
+        extra["e2e_hpylori_device"] = dd
     s16 = None if fast else _e2e_16strain()
     if s16:
         extra["e2e_16strain"] = s16

@@ -190,6 +190,8 @@ def run(argv: list[str]) -> int:
             print(f"Simplification stage {i + 1} of {len(stage)}")
             print("Enumerating vertices of the graph, then performing bulge removal...")
             n_before = sum(len(s) for s in finder.raw_seq)
+            from ..core import timings as _tm
+            _tm.add("kmers_indexed", 2 * n_before)
             finder.perform_graph_simplifications(
                 k, d, args.maxiterations, progress=make_progress_bar())
             if trace:
@@ -279,6 +281,9 @@ def run(argv: list[str]) -> int:
         tpath = os.environ.get("SIBELIA_TPU_TIMINGS")
         if tpath:
             from ..core import timings as _timings
+            from ..core.platform import SYNC_COUNTS
+            for _tag, _n in SYNC_COUNTS.items():
+                _timings.add("syncs_" + _tag, _n)
             try:
                 _timings.dump(tpath)
             except OSError:

@@ -55,6 +55,22 @@ def is_tunneled() -> bool:
         return False
 
 
+# --------------------------------------------------------------------------
+# Host<->device round-trip accounting (SIBELIA_TPU_COUNT_SYNCS=1): every
+# device-path call site notes its blocking transfers, so an e2e run can
+# be decomposed into device-compute + syncs * per-sync latency — the
+# basis of the real-hardware statement in bench.py (a tunneled dev chip
+# pays ~24 ms/sync; a locally attached TPU host ~0.2 ms).
+# --------------------------------------------------------------------------
+
+SYNC_COUNTS: dict = {}
+
+
+def note_sync(tag: str, n: int = 1) -> None:
+    if os.environ.get("SIBELIA_TPU_COUNT_SYNCS") == "1":
+        SYNC_COUNTS[tag] = SYNC_COUNTS.get(tag, 0) + n
+
+
 def device_dispatch() -> bool:
     """True when data-heavy pipeline steps should run on the JAX device."""
     env = os.environ.get("SIBELIA_TPU_DEVICE")

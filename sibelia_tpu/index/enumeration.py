@@ -234,10 +234,13 @@ def enumerate_bifurcations(chromosomes: list[bytes | np.ndarray], k: int,
         pad_to = -(-n // _PAD_BUCKET) * _PAD_BUCKET
         codes_p = codes if pad_to == n else np.concatenate(
             [codes, np.zeros(pad_to - n, dtype=codes.dtype)])
+        from ..core.platform import note_sync
         codes_d = jnp.asarray(codes_p)
+        note_sync("enum_upload")
         pos_d, id_d, n_sel_d, n_groups_d = _enum_device_k32(codes_d, k)
         ns = int(n_sel_d)
         count = int(n_groups_d)
+        note_sync("enum_scalar", 2)
         if ns == 0:
             return _empty_enumeration()
         cand = None
@@ -247,8 +250,10 @@ def enumerate_bifurcations(chromosomes: list[bytes | np.ndarray], k: int,
             cand_d = _candidate_scan(codes_d, pos_d[:bucket], id_d[:bucket],
                                      k, int(min_branch), n_sel_d)
             cand = np.asarray(cand_d[:count]).astype(np.uint8)
+            note_sync("candidate_fetch")
         sel = np.asarray(pos_d[:ns]).astype(np.int64)
         sel_ids = np.asarray(id_d[:ns]).astype(np.uint32)
+        note_sync("enum_fetch", 2)
         res = _map_selected(sel, sel_ids, count, block_starts, n_chr)
         res.candidates = cand
         return res

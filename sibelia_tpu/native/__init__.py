@@ -583,6 +583,7 @@ def _device_reprefilter(lib, handle, n_chr, k, min_branch, n_ids):
     rule is a segmented compare over (owner, member) tuples."""
     import jax.numpy as jnp
 
+    from ..core.platform import note_sync
     from ..index.enumeration import _candidate_scan, build_supergenome
     from ..index.ranking import _PAD_BUCKET
 
@@ -623,7 +624,9 @@ def _device_reprefilter(lib, handle, n_chr, k, min_branch, n_ids):
     ids_p = np.full(bucket, bucket, dtype=np.int32)
     pos_p[:m] = sg
     ids_p[:m] = ids
+    note_sync("reprefilter_upload", 3)
     cand_d = _candidate_scan(jnp.asarray(codes), jnp.asarray(pos_p),
                              jnp.asarray(ids_p), int(k), int(min_branch),
                              jnp.int32(m))
+    note_sync("reprefilter_fetch")
     return np.asarray(cand_d[:n_ids]).astype(np.uint8)

@@ -62,6 +62,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..index.enumeration import (BifEnumeration, _empty_enumeration,
                                  _map_selected, build_supergenome)
+from ..core.platform import note_sync
 from ..index.ranking import SEP_CODE, _pack_plan
 
 _SENT32 = jnp.uint32(0xFFFFFFFF)
@@ -387,6 +388,7 @@ def enumerate_bifurcations_sharded(chromosomes: list[bytes], k: int,
     if jax.process_count() > 1:
         # multi-host SPMD: every process reads the (small) input and
         # contributes its addressable shards of the global array
+        note_sync("enum_upload")
         codes_dev = jax.make_array_from_callback(
             padded2d.shape, sharding, lambda idx: padded2d[idx])
     else:
@@ -401,6 +403,7 @@ def enumerate_bifurcations_sharded(chromosomes: list[bytes], k: int,
         run = _compiled_step(k, L, n_dev, axis, min(cap, L),
                              min(cap_back, L), min(cap_scan, L), mesh_key)
         out_pos, out_id, total, of = run(codes_dev)
+        note_sync("enum_scalar")
         if int(of) == 0:
             break
         if cap >= L:
@@ -410,6 +413,7 @@ def enumerate_bifurcations_sharded(chromosomes: list[bytes], k: int,
         cap_back *= 2
         cap_scan *= 2
 
+    note_sync("enum_scalar")
     count = int(total)
     if count == 0:
         return _empty_enumeration()
@@ -426,6 +430,7 @@ def enumerate_bifurcations_sharded(chromosomes: list[bytes], k: int,
     else:
         pos_h = np.asarray(out_pos).reshape(-1)
         id_h = np.asarray(out_id).reshape(-1)
+        note_sync("enum_fetch", 2)
     m = pos_h >= 0
     sel = pos_h[m].astype(np.int64)
     sel_ids = id_h[m].astype(np.uint32)
