@@ -27,6 +27,25 @@ import re
 
 from ..native import lagan_anchors, lagan_chaos, lagan_order, load_lagan
 
+
+def _anchors_stage(hits_text: str, gfc: bool) -> str:
+    """anchors stage dispatch: the device weighted-LIS kernel
+    (align/anchors_device.py, byte-equal by differential test) on a
+    locally attached accelerator or when SIBELIA_TPU_ANCHORS_DEVICE=1;
+    the native C++ sweep otherwise."""
+    import os
+    env = os.environ.get("SIBELIA_TPU_ANCHORS_DEVICE")
+    use_dev = env == "1"
+    if env is None:
+        from ..core.platform import device_dispatch
+        use_dev = device_dispatch()
+    if use_dev:
+        from .anchors_device import anchors_text_device
+        out = anchors_text_device(hits_text, gfc=gfc)
+        if out is not None:
+            return out
+    return lagan_anchors(hits_text, gfc=gfc)
+
 # rechaos.pl:14 minus the translated level (skipped when -translate is off)
 RECURSION_LEVELS = [(12, 0, 25, 0), (13, 1, 30, 0), (8, 1, 30, 0),
                     (7, 1, 30, 0)]
@@ -100,7 +119,7 @@ def rechaos(seq1: bytes, name1: str, seq2: bytes, name2: str,
             app_str += (f"seq1 {clipright1} {t1}; seq2 {clipright2} {t2}; "
                         f"score={SENTINEL_RIGHT} (+)\n")
         anchtemp = hits + app_str
-        anch = lagan_anchors(anchtemp, gfc=gfc)
+        anch = _anchors_stage(anchtemp, gfc)
         sorted_lines = _gnu_sort_n_k2(
             [l for l in anch.split("\n") if l != ""])
         if not stillmore:

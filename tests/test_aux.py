@@ -359,3 +359,38 @@ def test_csibelia_contig_set_randomized(tmp_path, seed):
     for name, _ in recs:
         if name.startswith("novel"):
             assert unmapped.count('Seq="%s"' % name) == 1, name
+
+
+def test_sam_writer_exact_bytes(tmp_path):
+    """SAM writer vs bytes hand-derived from the reference's
+    OutputBlocksInSAM (outputgenerator.cpp:633-678).  That writer is
+    unreachable from the 3.0.7 main (dead code — no CLI flag calls it),
+    so no binary diff is possible; this pins our writer to the exact
+    line grammar of the reference source instead: @HD, one @SQ per
+    chromosome, then per block-id group (copies sorted by chromosome)
+    records QNAME="Block #id", FLAG=0, RNAME=description,
+    POS=conventional (1-based, strand-dependent) start, MAPQ=255,
+    CIGAR/RNEXT/PNEXT='*', TLEN=0, SEQ=the copy's forward-strand text,
+    QUAL='*'."""
+    from sibelia_tpu.blocks.instance import BlockInstance
+    from sibelia_tpu.io.fasta import FASTARecord
+
+    c0 = FASTARecord("ACGTACGTAA", "chrA", 0)
+    c1 = FASTARecord("TTGGCCAATT", "chrB", 1)
+    blocks = [
+        BlockInstance(1, c1, 2, 8),
+        BlockInstance(-1, c0, 0, 6),
+        BlockInstance(2, c0, 4, 9),
+    ]
+    path = tmp_path / "blocks.sam"
+    writers.output_blocks_in_sam(blocks, [c0, c1], str(path))
+    want = (
+        "@HD\tVN:1.4\n"
+        "@SQ\tSN:chrA\tLN:10\n"
+        "@SQ\tSN:chrB\tLN:10\n"
+        "Block #1\t0\tchrA\t6\t255\t*\t*\t*\t0\tACGTAC\t*\n"
+        "Block #1\t0\tchrB\t3\t255\t*\t*\t*\t0\tGGCCAA\t*\n"
+        "Block #2\t0\tchrA\t5\t255\t*\t*\t*\t0\tACGTA\t*\n"
+    )
+    with open(path) as f:
+        assert f.read() == want
