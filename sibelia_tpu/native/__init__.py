@@ -625,8 +625,21 @@ def _device_reprefilter(lib, handle, n_chr, k, min_branch, n_ids):
     pos_p[:m] = sg
     ids_p[:m] = ids
     note_sync("reprefilter_upload", 3)
-    cand_d = _candidate_scan(jnp.asarray(codes), jnp.asarray(pos_p),
-                             jnp.asarray(ids_p), int(k), int(min_branch),
-                             jnp.int32(m))
+    # SIBELIA_TPU_SHARDED=N spreads the prefilter across the mesh (same
+    # superset guarantee, topology-invariant; parallel/sharded_sweep.py)
+    n_shard = os.environ.get("SIBELIA_TPU_SHARDED")
+    cand_d = None
+    if n_shard and n_shard.isdigit() and int(n_shard) > 1:
+        import jax as _jx
+        if len(_jx.devices()) >= int(n_shard):
+            from ..parallel.sharded import make_mesh
+            from ..parallel.sharded_sweep import sharded_candidate_scan
+            cand_d = sharded_candidate_scan(
+                codes, pos_p, ids_p, int(k), int(min_branch), m,
+                make_mesh(int(n_shard)))
+    if cand_d is None:
+        cand_d = _candidate_scan(jnp.asarray(codes), jnp.asarray(pos_p),
+                                 jnp.asarray(ids_p), int(k),
+                                 int(min_branch), jnp.int32(m))
     note_sync("reprefilter_fetch")
     return np.asarray(cand_d[:n_ids]).astype(np.uint8)
