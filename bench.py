@@ -289,6 +289,14 @@ def _roofline(dev_rate, sort_rate, pack_sort_rate):
                  "viable in Mosaic (random scatter ~5x a full sort at "
                  "4M), so the sort-bound ceiling is the actionable "
                  "one"),
+        "pack_compaction_note": (
+            "replacing the final pack sort with compaction was "
+            "measured and does not pay: a MONOTONE cumsum+scatter "
+            "compaction runs 138 Mrows/s vs the 1-key pack sort's "
+            "617 Mrows/s on the v5e (XLA scatter lowering), and a "
+            "Pallas streaming cursor needs per-block variable-size "
+            "packed writes Mosaic cannot express without a "
+            "block-local compaction primitive; the sort stays"),
     }
     return out
 
