@@ -115,12 +115,13 @@ def test_device_reprefilter_superset_of_truth(monkeypatch):
                           dtype=np.int64)
         packed = []
         for strand in (0, 1):
+            # int32 coords / uint32 ids on the wire (engine_set_bifs ABI)
             chrs = enum2.chr[strand].astype(np.int32)
             poss = enum2.pos[strand].astype(np.int64)
-            bids = enum2.bif_id[strand].astype(np.int64)
+            bids = enum2.bif_id[strand].astype(np.uint32)
             coords = poss if strand == 0 else (lens[chrs] - 1 - poss)
             packed.append((np.ascontiguousarray(chrs),
-                           np.ascontiguousarray(coords),
+                           np.ascontiguousarray(coords.astype(np.int32)),
                            np.ascontiguousarray(bids)))
         (c0, p0, b0), (c1, p1, b1) = packed
         lib.engine_set_bifs(handle, enum2.count,
