@@ -139,6 +139,22 @@ def run(argv: list[str]) -> int:
                 print("Using external-memory mode (temp dir: %s)"
                       % _spill_dir_created, file=sys.stderr)
 
+        # In-RAM runs retain freed malloc memory (glibc: route big blocks
+        # through the brk heap and never trim it): on this class of VM
+        # kernel, pages returned to the OS are reclaimed host-side and
+        # refault at ~20 us/page, so the alloc/free churn of the engine
+        # phase and the numpy staging buffers would otherwise re-pay
+        # multi-second fault storms every stage.  Spill mode skips this —
+        # there, bounded RSS is the whole point.
+        if "SIBELIA_TPU_SPILL_DIR" not in os.environ:
+            try:
+                import ctypes as _ctypes
+                _libc = _ctypes.CDLL(None)
+                _libc.mallopt(-4, 0)            # M_MMAP_MAX = 0
+                _libc.mallopt(-1, 0x7FFFFFFF)   # M_TRIM_THRESHOLD = inf
+            except Exception:
+                pass
+
         history: list[list] = [[] for _ in range(len(stage) + 1)]
         finder = BlockFinder(chr_list)
         os.makedirs(args.outdir, exist_ok=True)

@@ -22,6 +22,7 @@
 #include <unordered_map>
 #include <functional>
 #include <sys/mman.h>
+#include <sys/resource.h>
 #include <sys/types.h>
 #include <fcntl.h>
 #include <unistd.h>
@@ -184,8 +185,21 @@ struct HVec {
                    "sibelia_tpu: spill-file creation failed in %s; "
                    "using anonymous memory\n", sd);
     }
+    // MAP_POPULATE: on this class of VM kernel, per-page demand faults
+    // cost ~20 us each once the process holds >~1 GB RSS (measured:
+    // ~5.5 s/GB), while the batched populate-at-mmap path stays at
+    // ~0.3 s/GB regardless of held RSS.  Arenas are fully written by
+    // their first user anyway, so populating up front costs nothing
+    // extra on a normal kernel and removes the dominant hidden cost on
+    // this one.  SIBELIA_TPU_POPULATE=0 opts out.
+    static const bool populate = [] {
+      const char* v = std::getenv("SIBELIA_TPU_POPULATE");
+      return !(v && v[0] == '0');
+    }();
     void* p = mmap(nullptr, nb, PROT_READ | PROT_WRITE,
-                   MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+                   MAP_PRIVATE | MAP_ANONYMOUS |
+                       (populate ? MAP_POPULATE : 0),
+                   -1, 0);
     if (p == MAP_FAILED) {
       p = std::malloc(nb);
       if (!p) {
@@ -212,10 +226,13 @@ struct HVec {
   }
 };
 
-// Phase timing, enabled by SIBELIA_TPU_PROF=1 (stderr).
+// Phase timing, enabled by SIBELIA_TPU_PROF=1 (stderr); sys-time and
+// minor-fault deltas included (first-touch/fault pathologies show up as
+// sys time attributed to otherwise cheap phases).
 struct Prof {
   const char* name;
   std::chrono::steady_clock::time_point t0;
+  struct rusage r0;
   static bool enabled() {
     static int e = [] {
       const char* v = std::getenv("SIBELIA_TPU_PROF");
@@ -224,14 +241,24 @@ struct Prof {
     return e != 0;
   }
   explicit Prof(const char* n) : name(n) {
-    if (enabled()) t0 = std::chrono::steady_clock::now();
+    if (enabled()) {
+      t0 = std::chrono::steady_clock::now();
+      getrusage(RUSAGE_SELF, &r0);
+    }
   }
   ~Prof() {
     if (enabled()) {
       double ms = std::chrono::duration<double, std::milli>(
                       std::chrono::steady_clock::now() - t0)
                       .count();
-      std::fprintf(stderr, "[prof] %-22s %8.1f ms\n", name, ms);
+      struct rusage r1;
+      getrusage(RUSAGE_SELF, &r1);
+      double sys_ms =
+          (r1.ru_stime.tv_sec - r0.ru_stime.tv_sec) * 1e3 +
+          (r1.ru_stime.tv_usec - r0.ru_stime.tv_usec) * 1e-3;
+      long flt = r1.ru_minflt - r0.ru_minflt;
+      std::fprintf(stderr, "[prof] %-22s %8.1f ms (sys %.0f ms, %ldk flt)\n",
+                   name, ms, sys_ms, flt / 1000);
     }
   }
 };
@@ -572,6 +599,8 @@ struct RankArena {
   HVec<int32_t> ql;       // answered match lengths (capped at k)
   HVec<int32_t> wh;       // word-granular next-mismatch horizon
   HVec<uint64_t> hk[3];   // block-mix signature lanes + one scratch
+  HVec<uint64_t> hab;     // interleaved (a,b) signatures (in-RAM resolve)
+  HVec<uint64_t> vbits;   // window-validity bitmap (in-RAM resolve)
   // 32-level result cache: consecutive stages often rank an UNCHANGED
   // sequence (a stage that collapses nothing leaves the genome intact),
   // and the 32-char base ranks are k-independent for every k >= 16.
@@ -953,7 +982,11 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
     });
     pp = ar.p.data();
   }
-  ar.shifted.release();
+  // keep the ping-pong partner mapped below the release threshold: on
+  // this kernel, munmapped pages are reclaimed host-side and the next
+  // enumeration's refault pays ~20 us/page (~2 s per stage measured);
+  // retaining the arena makes the refill free
+  if (n + pad >= kReleaseThreshold) ar.shifted.release();
 
   if ((int64_t)ar.order.size() < n) ar.order.resize(n);
   if ((int64_t)ar.rank.size() < n) ar.rank.resize(n);
@@ -1117,6 +1150,7 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
       for (int64_t cs = lo; cs < hi; cs += chunk) {
         int64_t ce = std::min(hi, cs + chunk);
         for (int64_t i = cs; i < ce; ++i) {
+          if (i + 32 < ce) __builtin_prefetch(&rank[order[i + 32]], 1);
           if (gflag[i]) start = i;
           rank[order[i]] = (uint32_t)start;
         }
@@ -1163,12 +1197,78 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
     LcpRefineCtx ctx{codes, pp, ar.next_sep.data(), n, k, pad};
     // 1) fold the covering 32-rank tuple into 128-bit signatures
     int64_t ext = n + k + 64;
-    for (int s = 0; s < 3; ++s)
-      if ((int64_t)ar.hk[s].size() < ext) ar.hk[s].resize((size_t)ext);
-    uint64_t* ha = ar.hk[0].data();
-    uint64_t* hb = ar.hk[1].data();
-    uint64_t* sc = ar.hk[2].data();  // one scratch serves both lanes
-    {
+    // In-RAM: tiled fold.  Each tile computes ALL doubling levels for a
+    // C-sized output window inside an (C + k)-entry scratch that stays
+    // cache-resident, reading rank[] once and writing the interleaved
+    // signatures once — 20 B/row of DRAM traffic total, vs
+    // 2 lanes x (log2(k/32)+1) full read+write passes (hundreds of
+    // B/row at k=5000) for the streaming fold.  Adjacent tiles re-read
+    // a k-entry halo of rank ((C+k)/C ~ 1.08x duplication).  Values are
+    // bit-identical to the streaming fold: every read chain stays below
+    // ext (te + k <= ext - 64), so the j-clamp never fires for output
+    // rows, exactly as it never fires for them in the streaming form.
+    // Spill mode keeps the streaming fold (windows drop as they go).
+    const bool tiled_fold = !spill_on() && n < kReleaseThreshold;
+    if (!tiled_fold)
+      for (int s = 0; s < 3; ++s)
+        if ((int64_t)ar.hk[s].size() < ext) ar.hk[s].resize((size_t)ext);
+    uint64_t* ha = tiled_fold ? nullptr : ar.hk[0].data();
+    uint64_t* hb = tiled_fold ? nullptr : ar.hk[1].data();
+    uint64_t* sc = tiled_fold ? nullptr : ar.hk[2].data();
+    if (tiled_fold) {
+      Prof _p("blockmix_fold");
+      {
+        Prof _p2("fold_hab_alloc");
+        if ((int64_t)ar.hab.size() < 2 * n) ar.hab.resize((size_t)(2 * n));
+      }
+      uint64_t* hab = ar.hab.data();
+      const uint32_t* rk = rank;
+      const int64_t C = (int64_t)1 << 16;
+      int64_t ntiles = (n + C - 1) / C;
+      Prof _p3("fold_tiles");
+      parallel_for(ntiles, [&](int64_t tlo, int64_t thi) {
+        std::vector<uint64_t> a0, a1, b0, b1;
+        for (int64_t tt = tlo; tt < thi; ++tt) {
+          int64_t t = tt * C;
+          int64_t te = std::min(n, t + C);
+          int64_t span = std::min(ext, t + C + k) - t;
+          if ((int64_t)a0.size() < span) {
+            a0.resize((size_t)span);
+            a1.resize((size_t)span);
+            b0.resize((size_t)span);
+            b1.resize((size_t)span);
+          }
+          for (int64_t ii = 0; ii < span; ++ii) {
+            int64_t gi = t + ii;
+            uint64_t r = (gi < n) ? (uint64_t)rk[gi]
+                                  : 0xFFFFFFFFFFFFFFFFULL;
+            a0[(size_t)ii] = mixA(r, 0);
+            b0[(size_t)ii] = mixB(r, 0);
+          }
+          uint64_t* pa = a0.data();
+          uint64_t* qa = a1.data();
+          uint64_t* pb = b0.data();
+          uint64_t* qb = b1.data();
+          int64_t L = 32, sp = span;
+          while (L * 2 <= k) {
+            int64_t ns2 = sp - L;
+            for (int64_t ii = 0; ii < ns2; ++ii)
+              qa[ii] = mixA(pa[ii], pa[ii + L]);
+            for (int64_t ii = 0; ii < ns2; ++ii)
+              qb[ii] = mixB(pb[ii], pb[ii + L]);
+            std::swap(pa, qa);
+            std::swap(pb, qb);
+            sp = ns2;
+            L *= 2;
+          }
+          int64_t off3 = k - L;
+          for (int64_t ii = 0; ii < te - t; ++ii) {
+            hab[2 * (t + ii)] = mixA(pa[ii], pa[ii + off3]);
+            hab[2 * (t + ii) + 1] = mixB(pb[ii], pb[ii + off3]);
+          }
+        }
+      });
+    } else {
       Prof _p("blockmix_fold");
       auto hk_of = [&](uint64_t* q) {
         for (int s = 0; s < 3; ++s)
@@ -1239,6 +1339,35 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
       // range, no prep) — byte parity between the two is covered by
       // tests/test_spill.py.
       const bool use_prep = spill_on();
+      // In-RAM mode pays the per-member signature/validity gathers as
+      // demand misses in the bucket loop.  This box (and TPU-host VMs
+      // generally) is gather-THROUGHPUT-bound (~50M random lines/s per
+      // core, software prefetch measured neutral), so the win is fewer
+      // random LINES per row, not deeper pipelining: the two 8 B
+      // signature lanes are interleaved into one 16 B record (one line
+      // instead of two, written by the fold's fused final combine) and
+      // the 4 B next_sep probe is replaced by a 1-bit validity bitmap
+      // (n/8 B — LLC-resident at pipeline sizes).  Same gate as the
+      // fused combine above.
+      const bool interleave = !use_prep && n < kReleaseThreshold;
+      if (interleave) {
+        int64_t nw = (n + 63) >> 6;
+        if ((int64_t)ar.vbits.size() < nw) ar.vbits.resize((size_t)nw);
+        uint64_t* vb = ar.vbits.data();
+        const uint32_t* nsp = ar.next_sep.data();
+        parallel_for(nw, [&](int64_t lo2, int64_t hi2) {
+          for (int64_t w2 = lo2; w2 < hi2; ++w2) {
+            uint64_t bits = 0;
+            int64_t base2 = w2 << 6;
+            int64_t end2 = std::min<int64_t>(n, base2 + 64);
+            for (int64_t p2 = base2; p2 < end2; ++p2)
+              if (p2 + k <= (int64_t)nsp[p2]) bits |= 1ULL << (p2 - base2);
+            vb[(size_t)w2] = bits;
+          }
+        });
+      }
+      const uint64_t* habp = interleave ? ar.hab.data() : nullptr;
+      const uint64_t* vbp = interleave ? ar.vbits.data() : nullptr;
       int64_t range_rows = n;
       if (use_prep) {
         const char* e = std::getenv("SIBELIA_TPU_SPILL_BUDGET_MB");
@@ -1326,14 +1455,18 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
       // counting scatter (the former final_order_sort pass, a random
       // 64M-slot write) is skipped entirely for this backend.
       auto HA = [&](int64_t row, int64_t p) {
-        return use_prep ? prep_a[(size_t)(row - rlo)] : ha[p];
+        return use_prep ? prep_a[(size_t)(row - rlo)]
+                        : (interleave ? habp[2 * p] : ha[p]);
       };
       auto HB = [&](int64_t row, int64_t p) {
-        return use_prep ? prep_b[(size_t)(row - rlo)] : hb[p];
+        return use_prep ? prep_b[(size_t)(row - rlo)]
+                        : (interleave ? habp[2 * p + 1] : hb[p]);
       };
       auto VAL = [&](int64_t row, int64_t p) {
-        return use_prep ? (prep_v[(size_t)(row - rlo)] != 0)
-                        : ctx.window_valid(p);
+        return use_prep
+                   ? (prep_v[(size_t)(row - rlo)] != 0)
+                   : (interleave ? ((vbp[p >> 6] >> (p & 63)) & 1) != 0
+                                 : ctx.window_valid(p));
       };
       auto resolve_chunk = [&](int tid) {
         struct Mem { uint64_t a, b; int64_t pos; };
@@ -1358,6 +1491,13 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
         int64_t i = b_i[(size_t)tid], iend = b_i[(size_t)(tid + 1)];
         int64_t last_drop = i;
         while (i < iend) {
+          // the rank writes below land at order[row] — random 4 B
+          // scatters, one per row; prefetch ~96 rows ahead (each loop
+          // iteration consumes >=1 row, twins consume 2)
+          if (i + 97 < iend) {
+            __builtin_prefetch(&rank[order[i + 96]], 1);
+            __builtin_prefetch(&rank[order[i + 97]], 1);
+          }
           if (i - last_drop >= kSpillQuantum) {
             // consumed order/gflag windows only; the randomly-probed
             // arrays are handled by the prep stream (spill mode) or
