@@ -146,6 +146,12 @@ def run(argv: list[str]) -> int:
         # phase and the numpy staging buffers would otherwise re-pay
         # multi-second fault storms every stage.  Spill mode skips this —
         # there, bounded RSS is the whole point.
+        # The -g flows rebuild the index at a k they just enumerated on an
+        # unchanged sequence: enable the native final-level rank cache for
+        # them (everywhere else its store is pure cost — see ranking.cpp)
+        if args.graphfile:
+            os.environ.setdefault("SIBELIA_TPU_FCACHE", "1")
+
         if "SIBELIA_TPU_SPILL_DIR" not in os.environ:
             try:
                 import ctypes as _ctypes
@@ -154,6 +160,17 @@ def run(argv: list[str]) -> int:
                 _libc.mallopt(-1, 0x7FFFFFFF)   # M_TRIM_THRESHOLD = inf
             except Exception:
                 pass
+            # Reserve the native arena slab NOW, while RSS is small: on
+            # this class of VM kernel page acquisition is ~1 s/GB early
+            # vs ~5 s/GB once the process holds >~2 GB (ranking.cpp
+            # Slab).  Sized for the full in-RAM arena set (~78 B per
+            # supergenome position); only worth it when the run would
+            # otherwise cross into the slow-fault regime.
+            est_n = 2 * (total + len(chr_list) + 1) + 128
+            slab_bytes = est_n * 78 + (64 << 20)
+            if slab_bytes >= (2 << 30):
+                from ..native import slab_reserve
+                slab_reserve(slab_bytes)
 
         history: list[list] = [[] for _ in range(len(stage) + 1)]
         finder = BlockFinder(chr_list)

@@ -386,6 +386,22 @@ def load_ranking() -> ctypes.CDLL | None:
     return _rank_lib
 
 
+def slab_reserve(n_bytes: int) -> None:
+    """Reserve the native arena slab while process RSS is still small
+    (page acquisition is ~5x cheaper then on this class of VM kernel —
+    see ranking.cpp::rank_slab_reserve).  Safe no-op without the native
+    library, in spill mode, or on repeat calls."""
+    lib = load_ranking()
+    if lib is None:
+        return
+    try:
+        lib.rank_slab_reserve.restype = None
+        lib.rank_slab_reserve.argtypes = [ctypes.c_int64]
+        lib.rank_slab_reserve(ctypes.c_int64(n_bytes))
+    except AttributeError:
+        pass
+
+
 def kmer_ranks_native(codes: np.ndarray, k: int):
     """Native (rank, order) twin of index.ranking.kmer_ranks_numpy;
     None if the native library is unavailable.

@@ -106,6 +106,38 @@ bool hugepage_ok() {
   return ok != 0;
 }
 
+// ---------------------------------------------------------------------------
+// Arena slab.  On this class of VM kernel, page acquisition from the
+// host costs ~1 s/GB while the process RSS is small (and inside one
+// large MAP_POPULATE call), but ~5 s/GB for every later allocation once
+// RSS crosses ~2 GB (measured; the cost is per 4 KiB page regardless of
+// THP or populate).  The CLI therefore reserves ONE populated slab
+// sized for the whole in-RAM arena set right after reading the input
+// (rank_slab_reserve), and HVec carves from it; allocations that do not
+// fit fall back to plain mmap.  Slab memory is never returned
+// (arenas are persistent for the process lifetime anyway).
+// ---------------------------------------------------------------------------
+struct Slab {
+  char* base = nullptr;
+  size_t cap = 0, used = 0;
+  std::mutex mu;
+};
+Slab& g_slab() {
+  static Slab s;
+  return s;
+}
+void* slab_try_alloc(size_t nb) {
+  Slab& s = g_slab();
+  std::lock_guard<std::mutex> g(s.mu);
+  if (!s.base) return nullptr;
+  size_t aligned = (s.used + ((size_t)2 << 20) - 1) &
+                   ~(((size_t)2 << 20) - 1);
+  if (aligned + nb > s.cap) return nullptr;
+  void* p = s.base + aligned;
+  s.used = aligned + nb;
+  return p;
+}
+
 // Grow-only scratch buffer backed by anonymous mmap (THP requested only
 // when safe, see hugepage_ok).  The arenas below are per-call scratch
 // measured in hundreds of MB.  Growth discards contents (every user
@@ -116,6 +148,7 @@ struct HVec {
   size_t cap = 0;     // elements
   size_t bytes = 0;   // mapped bytes
   bool spilled = false;  // file-backed (MAP_SHARED on an unlinked file)
+  bool from_slab = false;  // carved from the populated slab (never unmapped)
   size_t size() const { return cap; }
   T* data() { return ptr; }
   const T* data() const { return ptr; }
@@ -123,6 +156,14 @@ struct HVec {
   const T& operator[](size_t i) const { return ptr[i]; }
   void release() {
     if (!ptr) return;
+    if (from_slab) {
+      // slab regions are leaked back (the slab lives for the process)
+      ptr = nullptr;
+      cap = 0;
+      bytes = 0;
+      from_slab = false;
+      return;
+    }
     if (bytes) munmap(ptr, bytes); else std::free(ptr);
     ptr = nullptr;
     cap = 0;
@@ -196,6 +237,19 @@ struct HVec {
       const char* v = std::getenv("SIBELIA_TPU_POPULATE");
       return !(v && v[0] == '0');
     }();
+    auto dispose_old = [&] {
+      if (!ptr || from_slab) return;  // slab regions leak back
+      if (bytes) munmap(ptr, bytes); else std::free(ptr);
+    };
+    if (void* sp2 = slab_try_alloc(nb)) {
+      dispose_old();
+      ptr = (T*)sp2;
+      cap = nb / sizeof(T);
+      bytes = nb;
+      spilled = false;
+      from_slab = true;
+      return;
+    }
     void* p = mmap(nullptr, nb, PROT_READ | PROT_WRITE,
                    MAP_PRIVATE | MAP_ANONYMOUS |
                        (populate ? MAP_POPULATE : 0),
@@ -206,23 +260,21 @@ struct HVec {
         std::fprintf(stderr, "sibelia_tpu: arena alloc failed\n");
         std::abort();
       }
-      if (ptr) {
-        if (bytes) munmap(ptr, bytes); else std::free(ptr);
-      }
+      dispose_old();
       ptr = (T*)p;
       cap = nb / sizeof(T);
       bytes = 0;  // malloc-backed
       spilled = false;
+      from_slab = false;
       return;
     }
     if (hugepage_ok()) madvise(p, nb, MADV_HUGEPAGE);
-    if (ptr) {
-      if (bytes) munmap(ptr, bytes); else std::free(ptr);
-    }
+    dispose_old();
     ptr = (T*)p;
     cap = nb / sizeof(T);
     bytes = nb;
     spilled = false;
+    from_slab = false;
   }
 };
 
@@ -319,28 +371,49 @@ void radix_argsort_impl(const uint64_t* keys, OutT* idx, int64_t n,
                         std::vector<std::vector<int64_t>>& cntbuf,
                         uint64_t* sorted_out = nullptr,
                         std::function<void(int64_t, int64_t)> drop_out =
-                            nullptr) {
+                            nullptr,
+                        uint64_t* alias_k0 = nullptr,
+                        IdxT* alias_i0 = nullptr) {
+  // alias_k0/alias_i0 (in-RAM only): the caller's key/index arrays serve
+  // as ping-pong partner 0, halving the sort-arena footprint (the keys
+  // are consumed and the index array is pure output at every call site,
+  // and page acquisition costs ~5.5 s/GB on this kernel — see HVec).
   int T = 1;
   if (n >= (1 << 19)) {
     unsigned hw = std::thread::hardware_concurrency();
     T = (int)std::min<unsigned>(hw ? hw : 1, 8);
   }
-  for (int s = 0; s < 2; ++s) {
+  const bool aliased = alias_k0 != nullptr;
+  uint64_t* kb[2];
+  IdxT* ib[2];
+  for (int s = aliased ? 1 : 0; s < 2; ++s) {
     if ((int64_t)kbuf[s].size() < n) kbuf[s].resize((size_t)n);
     if ((int64_t)ibuf[s].size() < n) ibuf[s].resize((size_t)n);
+    kb[s] = kbuf[s].data();
+    ib[s] = ibuf[s].data();
+  }
+  if (aliased) {
+    kb[0] = alias_k0;
+    ib[0] = alias_i0;
   }
   if ((int)cntbuf.size() < T) cntbuf.resize((size_t)T);
   for (int t = 0; t < T; ++t)
     if (cntbuf[(size_t)t].size() < (1 << 16))
       cntbuf[(size_t)t].resize((size_t)(1 << 16));
-  const bool sp = kbuf[0].spilled;
+  const bool sp = aliased ? false : kbuf[0].spilled;
   int cur = 0;
+  if (aliased) {
+    // keys already live in kb[0]; only the identity permutation fills
+    parallel_for(n, [&](int64_t lo, int64_t hi) {
+      for (int64_t i = lo; i < hi; ++i) ib[0][i] = (IdxT)i;
+    });
+  } else {
   parallel_for(n, [&](int64_t lo, int64_t hi) {
     for (int64_t w = lo; w < hi; w += kSpillWindow) {
       int64_t we = std::min(hi, w + kSpillWindow);
       for (int64_t i = w; i < we; ++i) {
-        kbuf[0][(size_t)i] = keys[i];
-        ibuf[0][(size_t)i] = (IdxT)i;
+        kb[0][(size_t)i] = keys[i];
+        ib[0][(size_t)i] = (IdxT)i;
       }
       if (sp) {
         kbuf[0].drop_range((size_t)w, (size_t)we);
@@ -348,10 +421,11 @@ void radix_argsort_impl(const uint64_t* keys, OutT* idx, int64_t n,
       }
     }
   });
+  }
   for (int pass = 0; pass < 4; ++pass) {
     int shift = pass * 16;
-    const uint64_t* kc = kbuf[cur].data();
-    const IdxT* ic = ibuf[cur].data();
+    const uint64_t* kc = kb[cur];
+    const IdxT* ic = ib[cur];
     auto count_slice = [&](int t) {
       auto& c = cntbuf[(size_t)t];
       std::fill(c.begin(), c.begin() + (1 << 16), 0);
@@ -381,8 +455,8 @@ void radix_argsort_impl(const uint64_t* keys, OutT* idx, int64_t n,
       }
     }
     if (trivial) continue;
-    uint64_t* kn = kbuf[cur ^ 1].data();
-    IdxT* in = ibuf[cur ^ 1].data();
+    uint64_t* kn = kb[cur ^ 1];
+    IdxT* in = ib[cur ^ 1];
     auto scatter_slice = [&](int t) {
       auto& c = cntbuf[(size_t)t];
       int64_t lo = n * t / T, hi = n * (t + 1) / T;
@@ -416,8 +490,9 @@ void radix_argsort_impl(const uint64_t* keys, OutT* idx, int64_t n,
     }
     cur ^= 1;
   }
-  const IdxT* ic = ibuf[cur].data();
-  const uint64_t* kc = kbuf[cur].data();
+  if (aliased && cur == 0) return;  // result already in the caller arrays
+  const IdxT* ic = ib[cur];
+  const uint64_t* kc = kb[cur];
   parallel_for(n, [&](int64_t lo, int64_t hi) {
     for (int64_t w = lo; w < hi; w += kSpillWindow) {
       int64_t we = std::min(hi, w + kSpillWindow);
@@ -576,6 +651,13 @@ void radix_argsort_u64_sk(uint64_t* keys, uint32_t* idx, int64_t n,
     radix_argsort_u64_sk_extmem(keys, idx, n, drop_out);
     return;
   }
+  if (!spill_on()) {
+    // in-RAM: the caller's keys/idx arrays are ping-pong partner 0
+    radix_argsort_impl<uint32_t, uint32_t>(keys, idx, n, ar.k, ar.i,
+                                           ar.cnt, keys, drop_out, keys,
+                                           idx);
+    return;
+  }
   radix_argsort_impl<uint32_t, uint32_t>(keys, idx, n, ar.k, ar.i, ar.cnt,
                                          keys, drop_out);
 }
@@ -600,7 +682,8 @@ struct RankArena {
   HVec<int32_t> wh;       // word-granular next-mismatch horizon
   HVec<uint64_t> hk[3];   // block-mix signature lanes + one scratch
   HVec<uint64_t> hab;     // interleaved (a,b) signatures (in-RAM resolve)
-  HVec<uint64_t> vbits;   // window-validity bitmap (in-RAM resolve)
+  HVec<uint64_t> vbits;   // window-validity bitmap (resolve + group scan)
+  int64_t vbits_k = -1;   // k the bitmap was built for (reset per call)
   // 32-level result cache: consecutive stages often rank an UNCHANGED
   // sequence (a stage that collapses nothing leaves the genome intact),
   // and the 32-char base ranks are k-independent for every k >= 16.
@@ -867,8 +950,35 @@ struct GroupResolver {
     }
   }
 };
+// Build (or reuse) the window-validity bitmap for the current call:
+// bit p == the k-window at p crosses no separator (p + k <= next_sep[p]).
+// n/8 bytes — LLC-resident at pipeline sizes, so random validity probes
+// in the resolve and group-scan loops cost ~nothing vs a 4 B next_sep
+// gather per row.  ar.vbits_k tracks which k it holds; compute_ranks
+// resets it, so a bitmap can never leak across calls with a different
+// next_sep.
+void build_validity_bits(RankArena& ar, int64_t n, int64_t k) {
+  if (ar.vbits_k == k) return;
+  int64_t nw = (n + 63) >> 6;
+  if ((int64_t)ar.vbits.size() < nw) ar.vbits.resize((size_t)nw);
+  uint64_t* vb = ar.vbits.data();
+  const uint32_t* nsp = ar.next_sep.data();
+  parallel_for(nw, [&](int64_t lo2, int64_t hi2) {
+    for (int64_t w2 = lo2; w2 < hi2; ++w2) {
+      uint64_t bits = 0;
+      int64_t base2 = w2 << 6;
+      int64_t end2 = std::min<int64_t>(n, base2 + 64);
+      for (int64_t p2 = base2; p2 < end2; ++p2)
+        if (p2 + k <= (int64_t)nsp[p2]) bits |= 1ULL << (p2 - base2);
+      vb[(size_t)w2] = bits;
+    }
+  });
+  ar.vbits_k = k;
+}
+
 void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
                    RankArena& ar) {
+  ar.vbits_k = -1;  // next_sep about to be rebuilt for this call
   int64_t m = k < 32 ? k : 32;
   int64_t b = 1;
   while (b * 2 <= m && b < 16) b *= 2;
@@ -911,10 +1021,20 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
                     && n < kReleaseThreshold);
   bool cache_store = (k > 32 && b == 16 && blockmix_enabled()
                       && !cache_hit && n < kReleaseThreshold);
-  bool fcache_hit = (k > 32 && b == 16 && blockmix_enabled()
+  // The final-level cache only ever pays off when the SAME (sequence, k)
+  // is enumerated twice in one process — the `-g` serialize flow, which
+  // rebuilds the index at lastk right after block generation
+  // (cli/sibelia.py sets SIBELIA_TPU_FCACHE=1 there).  Everywhere else
+  // the store is pure cost: ~0.6 GB of arena acquisition (~5.5 s/GB on
+  // this kernel, see HVec) plus a 3-array copy per k>32 enumeration.
+  static const bool fcache_on = [] {
+    const char* v = std::getenv("SIBELIA_TPU_FCACHE");
+    return v && v[0] == '1';
+  }();
+  bool fcache_hit = (fcache_on && k > 32 && b == 16 && blockmix_enabled()
                      && ar.f_valid && ar.f_n == n && ar.f_k == k
                      && ar.f_sum == csum && n < kReleaseThreshold);
-  bool fcache_store = (k > 32 && b == 16 && blockmix_enabled()
+  bool fcache_store = (fcache_on && k > 32 && b == 16 && blockmix_enabled()
                        && !fcache_hit && n < kReleaseThreshold);
 
   // next separator at or after i (padding positions count as separators,
@@ -1350,22 +1470,7 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
       // (n/8 B — LLC-resident at pipeline sizes).  Same gate as the
       // fused combine above.
       const bool interleave = !use_prep && n < kReleaseThreshold;
-      if (interleave) {
-        int64_t nw = (n + 63) >> 6;
-        if ((int64_t)ar.vbits.size() < nw) ar.vbits.resize((size_t)nw);
-        uint64_t* vb = ar.vbits.data();
-        const uint32_t* nsp = ar.next_sep.data();
-        parallel_for(nw, [&](int64_t lo2, int64_t hi2) {
-          for (int64_t w2 = lo2; w2 < hi2; ++w2) {
-            uint64_t bits = 0;
-            int64_t base2 = w2 << 6;
-            int64_t end2 = std::min<int64_t>(n, base2 + 64);
-            for (int64_t p2 = base2; p2 < end2; ++p2)
-              if (p2 + k <= (int64_t)nsp[p2]) bits |= 1ULL << (p2 - base2);
-            vb[(size_t)w2] = bits;
-          }
-        });
-      }
+      if (interleave) build_validity_bits(ar, n, k);
       const uint64_t* habp = interleave ? ar.hab.data() : nullptr;
       const uint64_t* vbp = interleave ? ar.vbits.data() : nullptr;
       int64_t range_rows = n;
@@ -2067,6 +2172,31 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
 
 extern "C" {
 
+// Reserve the populated arena slab (see Slab above).  Called by the CLI
+// right after reading the input, while process RSS is still small —
+// that is the only window where acquisition runs at the cheap rate.
+// No-op in spill mode, if already reserved, or if the mmap fails.
+void rank_slab_reserve(int64_t bytes) {
+  if (spill_on() || bytes <= 0) return;
+  Slab& s = g_slab();
+  std::lock_guard<std::mutex> g(s.mu);
+  if (s.base) return;
+  size_t nb = ((size_t)bytes + ((size_t)2 << 20) - 1) &
+              ~(((size_t)2 << 20) - 1);
+  static const bool populate = [] {
+    const char* v = std::getenv("SIBELIA_TPU_POPULATE");
+    return !(v && v[0] == '0');
+  }();
+  void* p = mmap(nullptr, nb, PROT_READ | PROT_WRITE,
+                 MAP_PRIVATE | MAP_ANONYMOUS |
+                     (populate ? MAP_POPULATE : 0),
+                 -1, 0);
+  if (p == MAP_FAILED) return;
+  s.base = (char*)p;
+  s.cap = nb;
+  s.used = 0;
+}
+
 // codes: u8[n] with values 0..4 (0 = separator '#'); outputs rank[n] and
 // order[n] (int64).  Contract vs kmer_ranks_numpy: identical GROUPING of
 // valid windows (equal rank <=> identical k-window) and identical
@@ -2111,11 +2241,14 @@ void* enum_run(const uint8_t* codes, int64_t n, const int64_t* block_starts,
   Prof _p_scan0("enum_scan+map");
   const uint32_t* order = ar.order.data();
   const uint8_t* gflag = ar.gflag.data();
-  // validity: the k-window crosses no separator == next_sep distance,
-  // reusing the arena's next-sep array (indices < n match enum semantics:
-  // padding beyond n counts as separator there too, but positions with
-  // p + k > n are already filtered by it)
-  const uint32_t* next_sep = ar.next_sep.data();
+  // validity: the k-window crosses no separator == next_sep distance.
+  // Probed via the n/8 B validity bitmap (LLC-resident; built by the
+  // k>32 resolve already, or here) instead of a 4 B next_sep gather per
+  // row — the scan is gather-throughput-bound.  A separator position
+  // itself has next_sep[p] == p, so the bit also subsumes the
+  // codes[p] == 0 member filter.
+  build_validity_bits(ar, n, k);
+  const uint64_t* vbp = ar.vbits.data();
 
   // scan rank groups (gflag marks group starts in sorted order) over
   // valid positions; parallel over group-aligned chunks — each thread
@@ -2160,7 +2293,7 @@ void* enum_run(const uint8_t* codes, int64_t n, const int64_t* block_starts,
       bool terminal = false;
       for (; j < iend && (j == i || !gflag[j]); ++j) {
         int64_t p = order[(size_t)j];
-        if (codes[p] == 0 || p + k > next_sep[(size_t)p]) continue;
+        if (((vbp[p >> 6] >> (p & 63)) & 1) == 0) continue;
         members.push_back(p);
         uint8_t pc = codes[p - 1];  // supergenome starts with '#', p >= 1
         uint8_t nc = (p + k <= n - 1) ? codes[p + k] : codes[n - 1];
