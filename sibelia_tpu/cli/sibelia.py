@@ -169,8 +169,29 @@ def run(argv: list[str]) -> int:
             est_n = 2 * (total + len(chr_list) + 1) + 128
             slab_bytes = est_n * 78 + (64 << 20)
             if slab_bytes >= (2 << 30):
+                from ..core import timings as _timings
                 from ..native import slab_reserve
-                slab_reserve(slab_bytes)
+
+                # Top up the hugetlb pool (best-effort, needs root):
+                # pool pages survive process exit inside the guest, so
+                # repeat runs acquire the slab at ~0.2 s/GB instead of
+                # paying host-side page acquisition every time.
+                try:
+                    need = -(-slab_bytes // (2 << 20))
+                    free_hp = total_hp = 0
+                    with open("/proc/meminfo") as f:
+                        for line in f:
+                            if line.startswith("HugePages_Free"):
+                                free_hp = int(line.split()[1])
+                            elif line.startswith("HugePages_Total"):
+                                total_hp = int(line.split()[1])
+                    if free_hp < need:
+                        with open("/proc/sys/vm/nr_hugepages", "w") as f:
+                            f.write(str(total_hp + (need - free_hp)))
+                except OSError:
+                    pass
+                with _timings.phase("slab_reserve"):
+                    slab_reserve(slab_bytes)
 
         history: list[list] = [[] for _ in range(len(stage) + 1)]
         finder = BlockFinder(chr_list)

@@ -78,4 +78,13 @@ def device_dispatch() -> bool:
         return env != "0"
     if os.environ.get("SIBELIA_TPU_FORCE_DEVICE_ENUM") == "1":
         return True
+    # Cheap pre-checks that avoid importing (and initializing) jax on
+    # the pure-host path: an explicit CPU pin or the axon tunnel env
+    # decide the answer without paying backend init inside the pipeline.
+    plats = os.environ.get("JAX_PLATFORMS", "")
+    plist = [p.strip() for p in plats.split(",") if p.strip()]
+    if plist and all(p == "cpu" for p in plist):
+        return False
+    if "axon" in plats or os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return False  # tunneled dev chip: host paths win (see module doc)
     return backend_name() in _LOCAL_BACKENDS and not is_tunneled()

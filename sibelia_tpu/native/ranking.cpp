@@ -2187,12 +2187,30 @@ void rank_slab_reserve(int64_t bytes) {
     const char* v = std::getenv("SIBELIA_TPU_POPULATE");
     return !(v && v[0] == '0');
   }();
+  // Prefer the hugetlb pool (the CLI tops it up, best-effort): pool
+  // pages return to the GUEST pool on munmap and are never reclaimed
+  // host-side, so after the first process has paid for them, every
+  // later run re-acquires the whole slab at ~0.2 s/GB instead of
+  // ~5 s/GB of host acquisition.  Falls back to plain anonymous memory
+  // when the pool is absent or too small.
+#ifdef MAP_HUGETLB
   void* p = mmap(nullptr, nb, PROT_READ | PROT_WRITE,
-                 MAP_PRIVATE | MAP_ANONYMOUS |
+                 MAP_PRIVATE | MAP_ANONYMOUS | MAP_HUGETLB |
                      (populate ? MAP_POPULATE : 0),
                  -1, 0);
-  if (p == MAP_FAILED) return;
-  s.base = (char*)p;
+  if (p != MAP_FAILED) {
+    s.base = (char*)p;
+    s.cap = nb;
+    s.used = 0;
+    return;
+  }
+#endif
+  void* p2 = mmap(nullptr, nb, PROT_READ | PROT_WRITE,
+                  MAP_PRIVATE | MAP_ANONYMOUS |
+                      (populate ? MAP_POPULATE : 0),
+                  -1, 0);
+  if (p2 == MAP_FAILED) return;
+  s.base = (char*)p2;
   s.cap = nb;
   s.used = 0;
 }
