@@ -167,7 +167,7 @@ def run(argv: list[str]) -> int:
             # supergenome position); only worth it when the run would
             # otherwise cross into the slow-fault regime.
             est_n = 2 * (total + len(chr_list) + 1) + 128
-            slab_bytes = est_n * 78 + (64 << 20)
+            slab_bytes = est_n * 95 + (64 << 20)
             if slab_bytes >= (2 << 30):
                 from ..core import timings as _timings
                 from ..native import slab_reserve

@@ -25,6 +25,7 @@
 #include <deque>
 #include <map>
 #include <thread>
+#include <dlfcn.h>
 #include <unordered_map>
 #include <vector>
 
@@ -63,6 +64,53 @@ inline u64 mix64(u64 key) {
 
 // SIBELIA_TPU_PROF=2: per-sweep phase accumulators (detection walks vs
 // collapse application vs store cleanup), reported by the sweep drivers.
+// ---------------------------------------------------------------------------
+// Slab-backed allocation for the big engine arrays.  When the ranking
+// library has reserved its hugetlb-pooled arena slab
+// (ranking.cpp::rank_slab_reserve), the node/sequence arrays carve from
+// it via dlsym — riding the same pool pages (cheap re-acquisition
+// across runs, 2 MB TLB entries for the walk-heavy sweep).  Slab memory
+// is never freed back (the arrays live for the engine's lifetime; rare
+// reallocation growth leaks a bounded amount into the slab).  Without
+// the ranking library, or when the slab is absent/full, this is plain
+// operator new/delete.
+// ---------------------------------------------------------------------------
+typedef void* (*SlabAllocFn)(long long);
+typedef int (*SlabContainsFn)(const void*);
+inline SlabAllocFn slab_alloc_fn() {
+    static SlabAllocFn f =
+        (SlabAllocFn)dlsym(RTLD_DEFAULT, "rank_slab_alloc");
+    return f;
+}
+inline SlabContainsFn slab_contains_fn() {
+    static SlabContainsFn f =
+        (SlabContainsFn)dlsym(RTLD_DEFAULT, "rank_slab_contains");
+    return f;
+}
+template <typename T>
+struct SlabAlloc {
+    typedef T value_type;
+    SlabAlloc() {}
+    template <class U>
+    SlabAlloc(const SlabAlloc<U>&) {}
+    T* allocate(size_t n) {
+        if (SlabAllocFn f = slab_alloc_fn())
+            if (void* p = f((long long)(n * sizeof(T)))) return (T*)p;
+        return (T*)::operator new(n * sizeof(T));
+    }
+    void deallocate(T* p, size_t) {
+        if (SlabContainsFn f = slab_contains_fn())
+            if (f(p)) return;  // slab memory leaks back to the slab
+        ::operator delete(p);
+    }
+    bool operator==(const SlabAlloc&) const { return true; }
+    bool operator!=(const SlabAlloc&) const { return false; }
+};
+typedef std::vector<uint8_t, SlabAlloc<uint8_t> > SVecU8;
+typedef std::vector<int8_t, SlabAlloc<int8_t> > SVecI8;
+typedef std::vector<int32_t, SlabAlloc<int32_t> > SVecI32;
+typedef std::vector<uint32_t, SlabAlloc<uint32_t> > SVecU32;
+
 struct SweepStats {
     double detect_ms = 0, pairs_ms = 0, collapse_ms = 0, cleanup_ms = 0;
     double erase_ms = 0, replace_ms = 0, update_ms = 0, walk_ms = 0;
@@ -431,18 +479,18 @@ struct Engine {
     ProgressFn progress_fn = nullptr;
     ReprefilterFn reprefilter_fn = nullptr;
     int n_chr;
-    std::vector<std::vector<uint8_t> > chars;
-    std::vector<std::vector<int32_t> > origpos;  // fits the 1 GB input cap
+    std::vector<SVecU8> chars;
+    std::vector<SVecI32> origpos;  // fits the 1 GB input cap
     std::vector<i64> sep_origpos;
     // bifurcation store: per (strand, chr) position -> node index
     // (int32: node count is bounded by instances + collapse re-adds,
     // far under 2^31; halves the delta-splice memmoves)
     std::vector<PosMap> bif_at[2];  // per (strand, chr) pos -> node idx
     std::vector<MarkBits> mark_bits[2];  // mark presence per (strand, chr)
-    std::vector<int8_t> node_strand;
-    std::vector<int32_t> node_chr;
-    std::vector<int32_t> node_pos;   // chromosome positions fit int32 (1 GB cap)
-    std::vector<uint32_t> node_bif;  // ids < 2^32; NO_BIF == 0xFFFFFFFF fits
+    SVecI8 node_strand;
+    SVecI32 node_chr;
+    SVecI32 node_pos;   // chromosome positions fit int32 (1 GB cap)
+    SVecU32 node_bif;  // ids < 2^32; NO_BIF == 0xFFFFFFFF fits
     // Dead node slots are recycled (cleanup() frees an unlinked slot,
     // add_point pops).  Without reuse the node arrays grow by ~2(k+sd)
     // entries per collapse — ~50M slots on a 32 MB 16-strain stage-1
@@ -452,7 +500,7 @@ struct Engine {
     // node_bif == that detection's id, so erasing it (the only way a
     // slot reaches the free list) flags the id and invalidates the
     // cache before the slot can be recycled.
-    std::vector<int32_t> free_nodes;
+    SVecI32 free_nodes;
     i64 max_id;
     // per-(strand, bifId) point lists: intrusive singly-linked lists over
     // node indices (front-insert == the reference's slist push_front,
@@ -463,7 +511,7 @@ struct Engine {
     // CountBifurcations reads the list size under the same laziness).
     std::vector<int32_t> list_head[2]; // per bifId, -1 = empty
     std::vector<int32_t> list_cnt[2];  // per bifId
-    std::vector<int32_t> node_next;    // per node, -1 = end
+    SVecI32 node_next;    // per node, -1 = end
     std::vector<std::pair<std::pair<int, i64>, i64> > to_clear;  // ((strand,bif),idx)
 
     // Visit scheduling (output-exact sparse iteration): the reference
@@ -784,8 +832,8 @@ void collapse_bulge(Engine& e, i64 k, i64 src_idx, i64 src_dist,
                        : (i64)e.origpos[c_t][span_start + td];
     {
         Acc _a_vec(&g_sweep_stats.vec_ms);
-        std::vector<uint8_t>& ch = e.chars[c_t];
-        std::vector<int32_t>& op = e.origpos[c_t];
+        SVecU8& ch = e.chars[c_t];
+        SVecI32& op = e.origpos[c_t];
         i64 delta = sd - td;
         if (delta == 0) {
             std::memcpy(ch.data() + span_start, content.data(), (size_t)sd);
@@ -804,7 +852,7 @@ void collapse_bulge(Engine& e, i64 k, i64 src_idx, i64 src_dist,
         Acc _a_int(&g_sweep_stats.interp_ms);
         double acc = (double)first_pos;
         double ssize = (double)td / (double)sd;
-        std::vector<int32_t>& op = e.origpos[c_t];
+        SVecI32& op = e.origpos[c_t];
         for (i64 step = 0; step < sd; step++) {
             i64 v = (i64)acc;
             op[span_start + step] = (int32_t)(v < last_pos ? v : last_pos);
@@ -1344,6 +1392,15 @@ void engine_set_bifs(void* handle, i64 max_id,
     e->node_bif.clear();
     e->node_next.clear();
     e->free_nodes.clear();
+    // one upfront reservation: the free list bounds growth near the
+    // instance count, and push_back doubling would otherwise leak
+    // ~the final size into the slab on every reallocation
+    size_t cap = (size_t)(n0 + n1) + (size_t)(n0 + n1) / 8 + 1024;
+    e->node_strand.reserve(cap);
+    e->node_chr.reserve(cap);
+    e->node_pos.reserve(cap);
+    e->node_bif.reserve(cap);
+    e->node_next.reserve(cap);
     const int32_t* chrs[2] = {chr0, chr1};
     const int32_t* coords[2] = {coord0, coord1};
     const uint32_t* bifs[2] = {bif0, bif1};

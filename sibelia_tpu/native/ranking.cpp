@@ -2172,6 +2172,17 @@ void compute_ranks(const uint8_t* codes, int64_t n, int64_t k,
 
 extern "C" {
 
+// Slab carve/containment for sibling libraries (the engine dlsym's
+// these so its node/sequence arrays ride the same hugetlb pool).
+void* rank_slab_alloc(long long nb) {
+  return slab_try_alloc((size_t)nb);
+}
+int rank_slab_contains(const void* p) {
+  Slab& s = g_slab();
+  return s.base && (const char*)p >= s.base &&
+         (const char*)p < s.base + s.cap;
+}
+
 // Reserve the populated arena slab (see Slab above).  Called by the CLI
 // right after reading the input, while process RSS is still small —
 // that is the only window where acquisition runs at the cheap rate.
