@@ -28,6 +28,32 @@ for a, b in zip(b"ATGCatgc", b"TACGtacg"):
     COMP_LUT[a] = b
 
 
+class _LazyIdentityPos(list):
+    """List of identity position maps (np.arange) materialized on first
+    read.  Writing a slot converts it to an ordinary list slot, so a
+    caller that parks None there (native engine handoff) reads its None
+    back instead of a fabricated arange."""
+
+    def __init__(self, lens):
+        super().__init__([None] * len(lens))
+        self._lens = list(lens)
+
+    def __getitem__(self, i):
+        v = list.__getitem__(self, i)
+        if v is None and self._lens[i] is not None:
+            v = np.arange(self._lens[i], dtype=np.int32)
+            list.__setitem__(self, i, v)
+            self._lens[i] = None
+        return v
+
+    def __setitem__(self, i, v):
+        self._lens[i] = None
+        list.__setitem__(self, i, v)
+
+    def __iter__(self):
+        return (self[i] for i in range(len(self)))
+
+
 class MutableSequence:
     def __init__(self, chromosomes: list[bytes | np.ndarray],
                  original_pos: list[np.ndarray] | None = None):
@@ -40,7 +66,13 @@ class MutableSequence:
             else np.frombuffer(c, dtype=np.uint8).copy() for c in chromosomes
         ]
         if original_pos is None:
-            self.origpos = [np.arange(len(c), dtype=np.int32) for c in chromosomes]
+            # identity maps, materialized lazily on first read: the trim
+            # mini-sequences (synteny.py) never touch origpos, and the
+            # eager aranges were ~7 s of pure allocation over a
+            # 16-strain run.  A slot written through __setitem__ becomes
+            # an ordinary slot (the native engine parks None there
+            # mid-handoff; fabricating an arange for it would be wrong).
+            self.origpos = _LazyIdentityPos([len(c) for c in chromosomes])
         else:
             self.origpos = [np.ascontiguousarray(p, dtype=np.int32)
                             for p in original_pos]

@@ -61,12 +61,20 @@ def _validate_header(header: str, file_name: str, line: int) -> str:
     return out
 
 
+_VALID_DELETE = str.maketrans("", "", "".join(VALID_CHARS))
+
+
 def _validate_sequence(seq: str, file_name: str, line: int) -> str:
     out = seq.upper()
-    for orig, ch in zip(seq, out):
-        if ch not in VALID_CHARS:
-            raise FastaParseError(
-                f"parse error in {file_name} on line {line}: illegal character: {orig}")
+    # bulk check (translate drops every valid char); the per-char loop
+    # runs only on the error path to report the FIRST illegal char in
+    # its original (pre-uppercase) spelling, as the reference does
+    if out.translate(_VALID_DELETE):
+        for orig, ch in zip(seq, out):
+            if ch not in VALID_CHARS:
+                raise FastaParseError(
+                    f"parse error in {file_name} on line {line}: "
+                    f"illegal character: {orig}")
     return out
 
 

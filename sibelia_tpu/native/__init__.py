@@ -123,14 +123,18 @@ def simplify_native(seq, enum, k: int, min_branch: int,
         for strand in (0, 1):
             # int32 coords / uint32 ids on the wire (bounded by the 1 GB
             # cap); the staging copies are ~2 GB smaller at that scale
-            chrs = enum.chr[strand].astype(np.int32)
-            poss = enum.pos[strand].astype(np.int64)
-            coords = poss if strand == 0 else (lens[chrs] - 1 - poss)
-            bids = enum.bif_id[strand].astype(np.uint32)
-            packed.append((np.ascontiguousarray(chrs),
-                           np.ascontiguousarray(coords.astype(np.int32)),
-                           np.ascontiguousarray(bids)))
-            del poss, coords
+            chrs = np.ascontiguousarray(enum.chr[strand], dtype=np.int32)
+            if strand == 0:
+                coords = np.ascontiguousarray(enum.pos[strand],
+                                              dtype=np.int32)
+            else:
+                # lens is int64, so the mixed expression promotes; one
+                # narrowing copy at the end (values < 2^31 by the cap)
+                coords = (lens[chrs] - 1 -
+                          enum.pos[strand]).astype(np.int32)
+            bids = np.ascontiguousarray(enum.bif_id[strand],
+                                        dtype=np.uint32)
+            packed.append((chrs, coords, bids))
         if release_enum:
             # drop the source instance arrays BEFORE the engine ingest so
             # they never coexist with the packed copies + engine tables
@@ -443,6 +447,11 @@ def _rank_lib_enum():
                                    ctypes.c_void_p]
         lib.enum_destroy.restype = None
         lib.enum_destroy.argtypes = [ctypes.c_void_p]
+        if hasattr(lib, "enum_fetch32"):
+            lib.enum_fetch32.restype = None
+            lib.enum_fetch32.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                         ctypes.c_void_p, ctypes.c_void_p,
+                                         ctypes.c_void_p]
         lib._enum_configured = True
     return lib
 
@@ -460,14 +469,24 @@ def enumerate_native(codes: np.ndarray, block_starts: np.ndarray,
                      len(block_starts), int(n_chr), int(k))
     try:
         count = lib.enum_count(h)
+        fetch32 = getattr(lib, "enum_fetch32", None)
         strands = []
         for s in (0, 1):
             m = lib.enum_strand_size(h, s)
-            chrs = np.empty(m, dtype=np.int64)
-            poss = np.empty(m, dtype=np.int64)
-            ids = np.empty(m, dtype=np.uint32)
-            lib.enum_fetch(h, s, chrs.ctypes.data, poss.ctypes.data,
-                           ids.ctypes.data)
+            if fetch32 is not None:
+                # int32/uint32 on the wire (lossless under the 1 GB cap):
+                # consumers skip a whole astype pass over the tables
+                chrs = np.empty(m, dtype=np.int32)
+                poss = np.empty(m, dtype=np.int32)
+                ids = np.empty(m, dtype=np.uint32)
+                fetch32(h, s, chrs.ctypes.data, poss.ctypes.data,
+                        ids.ctypes.data)
+            else:
+                chrs = np.empty(m, dtype=np.int64)
+                poss = np.empty(m, dtype=np.int64)
+                ids = np.empty(m, dtype=np.uint32)
+                lib.enum_fetch(h, s, chrs.ctypes.data, poss.ctypes.data,
+                               ids.ctypes.data)
             strands.append((chrs, poss, ids))
         return int(count), strands
     finally:

@@ -2435,6 +2435,19 @@ void enum_fetch(void* h, int s, int64_t* chr_out, int64_t* pos_out,
   std::memcpy(id_out, r->id[s].data(), m * sizeof(uint32_t));
 }
 
+// 32-bit fetch: per-chromosome positions and chromosome indices are
+// bounded far below 2^31 by the reference's 1 GB input cap, so the
+// int64 internals narrow losslessly; callers skip a whole astype pass
+// over the instance tables.
+void enum_fetch32(void* h, int s, int32_t* chr_out, int32_t* pos_out,
+                  uint32_t* id_out) {
+  EnumResult* r = (EnumResult*)h;
+  size_t m = r->chr[s].size();
+  for (size_t i = 0; i < m; ++i) chr_out[i] = (int32_t)r->chr[s][i];
+  for (size_t i = 0; i < m; ++i) pos_out[i] = (int32_t)r->pos[s][i];
+  std::memcpy(id_out, r->id[s].data(), m * sizeof(uint32_t));
+}
+
 void enum_destroy(void* h) { delete (EnumResult*)h; }
 
 }  // extern "C"
