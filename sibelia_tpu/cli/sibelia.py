@@ -168,7 +168,7 @@ def run(argv: list[str]) -> int:
             # otherwise cross into the slow-fault regime.
             est_n = 2 * (total + len(chr_list) + 1) + 128
             slab_bytes = est_n * 95 + (64 << 20)
-            if slab_bytes >= (2 << 30):
+            if slab_bytes >= (1 << 30):
                 from ..core import timings as _timings
                 from ..native import slab_reserve
 
