@@ -901,7 +901,13 @@ void collapse_bulge(Engine& e, i64 k, i64 src_idx, i64 src_dist,
 // iteration-order emulation because only the boolean is wanted.  Safe to
 // run threaded: the walks only read the store.
 void prefilter_candidates(Engine& e, i64 k, i64 min_branch,
-                          std::vector<uint8_t>& cand) {
+                          std::vector<uint8_t>& cand,
+                          const std::vector<uint8_t>* mask = nullptr) {
+    // mask (optional): only test the flagged ids.  Sound because every
+    // caller that passes a mask INTERSECTS the result with that same
+    // mask — skipping unmasked ids just leaves zeros the intersection
+    // would produce anyway, at a cost proportional to the flagged
+    // fraction instead of the full id space.
     cand.assign((size_t)e.max_id + 1, 0);
     unsigned hw = std::thread::hardware_concurrency();
     int T = hw > 1 ? (int)std::min(hw, 8u) : 1;
@@ -912,6 +918,7 @@ void prefilter_candidates(Engine& e, i64 k, i64 min_branch,
         std::vector<uint8_t> claim_ec((size_t)e.max_id + 1, 0);
         std::vector<i64> claim_epoch((size_t)e.max_id + 1, -1);
         for (i64 id = tid; id <= e.max_id; id += T) {
+            if (mask && !(*mask)[(size_t)id]) continue;
             if (e.list_cnt[0][id] + e.list_cnt[1][id] < 2) continue;
             start_nodes.clear();
             for (int strand = 0; strand < 2; strand++)
@@ -1587,7 +1594,9 @@ i64 engine_simplify_sparse(void* handle, i64 k, i64 min_branch,
                 filled = e->reprefilter_fn(cand.data(),
                                            e->max_id + 1) != 0;
             }
-            if (!filled) prefilter_candidates(*e, k, min_branch, cand);
+            if (!filled)
+                prefilter_candidates(*e, k, min_branch, cand,
+                                     &e->visit_now);
             for (size_t i = 0; i < e->visit_now.size(); i++)
                 e->visit_now[i] &= cand[i];
         }
